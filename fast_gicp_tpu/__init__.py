@@ -1,0 +1,39 @@
+"""fast_gicp_tpu — TPU-native point-cloud registration (JAX/XLA/Pallas).
+
+A from-scratch re-design of the capabilities of koide3/fast_gicp for TPU:
+GICP, voxelized GICP, and P2D/D2D NDT as fully jitted Gauss-Newton /
+Levenberg-Marquardt fixed-point solves over SE(3), with MXU-shaped neighbor
+search and covariance estimation, a sort/segment voxel hash map, and
+shard_map multi-device scaling.  See SURVEY.md for the reference analysis.
+"""
+
+from . import se3
+from .solver import LsqConfig, LsqResult, lsq_solve
+from .models.base import Registration
+from .models.gicp import FastGICP, GICPConfig, gicp_align
+from .models.vgicp import FastVGICP, FastVGICPCuda, VGICPConfig, vgicp_align
+from .models.ndt import NDT, NDTConfig, NDTCuda, ndt_align
+from .models.metrics import fitness_score, pose_error
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "se3",
+    "LsqConfig",
+    "LsqResult",
+    "lsq_solve",
+    "Registration",
+    "FastGICP",
+    "GICPConfig",
+    "gicp_align",
+    "FastVGICP",
+    "FastVGICPCuda",
+    "VGICPConfig",
+    "vgicp_align",
+    "NDT",
+    "NDTConfig",
+    "NDTCuda",
+    "ndt_align",
+    "fitness_score",
+    "pose_error",
+]

@@ -1,0 +1,175 @@
+"""User-facing Registration base class (the pcl::Registration-shaped API).
+
+Mirrors the surface the reference inherits from PCL plus its additions
+(lsq_registration.hpp:16-85, fast_gicp.hpp:42-73): set_input_source/target,
+align(guess), get_final_transformation/hessian, has_converged,
+get_fitness_score, set_max_correspondence_distance, swap_source_and_target /
+clear_source / clear_target with covariance reuse for odometry loops.
+
+Clouds are padded to static bucket sizes on ingestion so repeated aligns hit
+the jit cache; per-cloud state (points, mask, covariances) lives on device
+and is swapped by reference — `swap_source_and_target` is free, matching the
+reference's pointer swap (fast_gicp_impl.hpp:50-57).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..solver import LsqConfig
+from ..utils.padding import DEFAULT_BUCKET, pad_points
+from .metrics import fitness_score
+
+
+@dataclass
+class Cloud:
+    """Padded device-side cloud + lazily computed per-point covariances."""
+
+    points: jax.Array  # (M, 3) f32
+    mask: jax.Array  # (M,) bool
+    size: int  # true point count
+    covs: Optional[jax.Array] = None  # (M, 3, 3) f32
+
+
+@dataclass
+class Registration:
+    """Base registration driver; subclasses implement `_compute`.
+
+    Defaults follow lsq_registration_impl.hpp:11-19.
+    """
+
+    max_iterations: int = 64
+    rotation_epsilon: float = 2e-3
+    transformation_epsilon: float = 5e-4
+    optimizer: str = "lm"
+    lm_max_iterations: int = 10
+    lm_init_lambda_factor: float = 1e-9
+    max_correspondence_distance: float = math.inf
+    bucket: int = DEFAULT_BUCKET
+
+    _source: Optional[Cloud] = field(default=None, repr=False)
+    _target: Optional[Cloud] = field(default=None, repr=False)
+    _final_T: Optional[np.ndarray] = field(default=None, repr=False)
+    _final_H: Optional[np.ndarray] = field(default=None, repr=False)
+    _converged: bool = field(default=False, repr=False)
+    _iterations: int = field(default=0, repr=False)
+
+    # -- cloud management -------------------------------------------------
+    def _ingest(self, points: np.ndarray) -> Cloud:
+        padded, mask = pad_points(np.asarray(points), self.bucket)
+        return Cloud(
+            points=jnp.asarray(padded), mask=jnp.asarray(mask), size=int(mask.sum())
+        )
+
+    def set_input_source(self, points: np.ndarray) -> None:
+        self._source = self._ingest(points)
+
+    def set_input_target(self, points: np.ndarray) -> None:
+        self._target = self._ingest(points)
+
+    def swap_source_and_target(self) -> None:
+        self._source, self._target = self._target, self._source
+
+    def clear_source(self) -> None:
+        self._source = None
+
+    def clear_target(self) -> None:
+        self._target = None
+
+    def set_source_covariances(self, covs) -> None:
+        self._require_source().covs = jnp.asarray(covs)
+
+    def set_target_covariances(self, covs) -> None:
+        self._require_target().covs = jnp.asarray(covs)
+
+    def _require_source(self) -> Cloud:
+        if self._source is None:
+            raise RuntimeError("set_input_source has not been called")
+        return self._source
+
+    def _require_target(self) -> Cloud:
+        if self._target is None:
+            raise RuntimeError("set_input_target has not been called")
+        return self._target
+
+    # -- settings ---------------------------------------------------------
+    def set_max_correspondence_distance(self, d: float) -> None:
+        self.max_correspondence_distance = float(d)
+
+    def set_max_iterations(self, n: int) -> None:
+        self.max_iterations = int(n)
+
+    def set_rotation_epsilon(self, eps: float) -> None:
+        self.rotation_epsilon = float(eps)
+
+    def set_transformation_epsilon(self, eps: float) -> None:
+        self.transformation_epsilon = float(eps)
+
+    def set_initial_lambda_factor(self, f: float) -> None:
+        self.lm_init_lambda_factor = float(f)
+
+    def set_optimizer_type(self, kind: str) -> None:
+        if kind not in ("lm", "gn"):
+            raise ValueError("optimizer must be 'lm' or 'gn'")
+        self.optimizer = kind
+
+    def _lsq_config(self) -> LsqConfig:
+        return LsqConfig(
+            max_iterations=self.max_iterations,
+            rotation_epsilon=self.rotation_epsilon,
+            transformation_epsilon=self.transformation_epsilon,
+            optimizer=self.optimizer,
+            lm_max_iterations=self.lm_max_iterations,
+            lm_init_lambda_factor=self.lm_init_lambda_factor,
+        )
+
+    # -- alignment --------------------------------------------------------
+    def align(self, initial_guess: Optional[np.ndarray] = None) -> np.ndarray:
+        """Run registration; returns the final 4x4 transformation."""
+        src, tgt = self._require_source(), self._require_target()
+        guess = (
+            jnp.eye(4, dtype=jnp.float32)
+            if initial_guess is None
+            else jnp.asarray(initial_guess, dtype=jnp.float32)
+        )
+        result = self._compute(src, tgt, guess)
+        self._final_T = np.asarray(result.transformation, dtype=np.float64)
+        self._final_H = np.asarray(result.hessian, dtype=np.float64)
+        self._converged = bool(result.converged)
+        self._iterations = int(result.iterations)
+        return self._final_T
+
+    def _compute(self, source: Cloud, target: Cloud, guess: jax.Array):
+        raise NotImplementedError
+
+    # -- results ----------------------------------------------------------
+    def get_final_transformation(self) -> np.ndarray:
+        if self._final_T is None:
+            raise RuntimeError("align has not been called")
+        return self._final_T
+
+    def get_final_hessian(self) -> np.ndarray:
+        if self._final_H is None:
+            raise RuntimeError("align has not been called")
+        return self._final_H
+
+    def has_converged(self) -> bool:
+        return self._converged
+
+    def get_num_iterations(self) -> int:
+        return self._iterations
+
+    def get_fitness_score(self, max_range: float = math.inf) -> float:
+        src, tgt = self._require_source(), self._require_target()
+        T = jnp.asarray(self.get_final_transformation(), dtype=jnp.float32)
+        return float(
+            fitness_score(
+                T, src.points, src.mask, tgt.points, tgt.mask, max_range=max_range
+            )
+        )

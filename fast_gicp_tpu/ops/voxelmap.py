@@ -1,0 +1,293 @@
+"""Gaussian voxel map with fixed shapes: sort/segment build + open-addressing
+hash lookup.
+
+TPU-native redesign of the reference's two voxel maps:
+  * CPU `GaussianVoxelMap` — std::unordered_map with serial insertion
+    (fast_vgicp_voxel.hpp:124-182)
+  * GPU hash map — atomicCAS bucket claiming + atomic scatter accumulation
+    (gaussian_voxelmap.cu:9-292)
+
+Neither pointer-chasing maps nor atomics fit XLA, so the build is phrased as
+dataflow: lexicographic sort of integer voxel coords (`lax.sort`, 3 keys),
+boundary detection -> dense voxel ids, segment-sum accumulation of
+(count, mean, cov) statistics, then a vectorized open-addressing insert: a
+few rounds of scatter-min "claiming" replace the reference's atomicCAS probe
+loop (gaussian_voxelmap.cu:21-58).  Lookup probes the same table with pure
+gathers, verifying coordinates exactly — hash collisions cannot alias.
+
+All shapes are static: `capacity` voxels (<= N points) and a power-of-two
+`table_size`.  Everything jits and vmaps.
+
+Voxel coordinate convention matches the reference exactly:
+coord = floor(x / resolution - 0.5) (fast_vgicp_voxel.hpp:158-160).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import linalg3
+
+# Sentinel coordinate for masked points: sorts after all real coords.
+_COORD_SENTINEL = jnp.int32(2**30)
+_EMPTY = jnp.int32(2**30)  # empty hash slot marker (scatter-min identity)
+
+# Linear-probe bound shared by insert and lookup; at 1/8 load factor the
+# expected displacement is <1 slot and P(chain >= 8) is negligible, and each
+# probe round is a full gather+scatter pass (~0.3 ms at 18k voxels on TPU),
+# so the bound is kept tight.  Insert displacement can never exceed lookup's
+# probe depth since both use this constant.
+MAX_PROBE = 8
+
+ACCUMULATION_MODES = ("additive", "additive_weighted", "multiplicative", "raw")
+
+# Spatial hash: three large primes, classic Teschner-style mixing. The
+# reference GPU map uses a boost-style hash_combine (vector3_hash.cuh:8-38);
+# any well-mixing function works because lookups verify coordinates.
+_HP1, _HP2, _HP3 = jnp.uint32(73856093), jnp.uint32(19349669), jnp.uint32(83492791)
+
+
+def voxel_coord(points, resolution):
+    """floor(p / resolution - 0.5) as int32 (fast_vgicp_voxel.hpp:158-160)."""
+    return jnp.floor(points / resolution - 0.5).astype(jnp.int32)
+
+
+def _hash_coords(coords):
+    """(N, 3) int32 -> uint32 hash."""
+    c = coords.astype(jnp.uint32)
+    return (c[..., 0] * _HP1) ^ (c[..., 1] * _HP2) ^ (c[..., 2] * _HP3)
+
+
+class VoxelMap(NamedTuple):
+    """Fixed-capacity Gaussian voxel map (device arrays)."""
+
+    means: jax.Array  # (C, 3) finalized voxel means
+    covs: jax.Array  # (C, 3, 3) finalized voxel covariances
+    counts: jax.Array  # (C,) int32 points per voxel
+    coords: jax.Array  # (C, 3) int32 voxel integer coords
+    table: jax.Array  # (T,) int32 open-addressing table -> voxel index
+    num_voxels: jax.Array  # () int32
+    resolution: jax.Array  # () f32
+
+
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def build_voxelmap(
+    points,
+    mask,
+    resolution,
+    covs=None,
+    mode: str = "additive",
+    capacity: int | None = None,
+    table_factor: int = 8,
+    max_probe: int = MAX_PROBE,
+) -> VoxelMap:
+    """Build a Gaussian voxel map from (N, 3) points (+ per-point covs).
+
+    mode:
+      * "additive" / "additive_weighted": voxel mean/cov = arithmetic mean of
+        member means/covs (fast_vgicp_voxel.hpp:105-122).
+      * "multiplicative": information-form fusion — accumulate C_i^-1 and
+        C_i^-1 mu_i, invert at finalize (fast_vgicp_voxel.hpp:79-103).
+      * "raw": NDT-style — mean = E[x], cov = E[x x^T] - mu mu^T from raw
+        points, no per-point covs needed (gaussian_voxelmap.cu
+        ndt_finalize_voxels_kernel).
+    """
+    if mode not in ACCUMULATION_MODES:
+        raise ValueError(f"unknown accumulation mode: {mode}")
+    n = points.shape[0]
+    capacity = capacity or n
+    table_size = next_pow2(table_factor * capacity)
+    dtype = points.dtype
+
+    coords = voxel_coord(points, resolution)
+    coords = jnp.where(mask[:, None], coords, _COORD_SENTINEL)
+
+    # Lexicographic sort by (cx, cy, cz); carry the original point index.
+    point_idx = jnp.arange(n, dtype=jnp.int32)
+    cx, cy, cz, order = jax.lax.sort(
+        (coords[:, 0], coords[:, 1], coords[:, 2], point_idx), num_keys=3
+    )
+    valid_sorted = cx < _COORD_SENTINEL
+    first = jnp.zeros(n, dtype=bool).at[0].set(True)
+    changed = (
+        (cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1)) | (cz != jnp.roll(cz, 1))
+    )
+    new_voxel = (first | changed) & valid_sorted
+    vid_sorted = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
+    num_voxels = jnp.sum(new_voxel.astype(jnp.int32))
+    # Invalid points -> overflow bucket `capacity` (sliced off after scatter).
+    vid_sorted = jnp.where(valid_sorted & (vid_sorted < capacity), vid_sorted, capacity)
+
+    # Map voxel id back to original point order for the accumulation scatter.
+    vid = jnp.zeros(n, dtype=jnp.int32).at[order].set(vid_sorted)
+
+    valid_f = mask.astype(dtype)
+    counts = (
+        jnp.zeros(capacity + 1, jnp.int32).at[vid].add(mask.astype(jnp.int32))
+    )[:capacity]
+
+    if mode == "raw":
+        m_contrib = points
+        c_contrib = points[:, :, None] * points[:, None, :]
+    elif mode == "multiplicative":
+        if covs is None:
+            raise ValueError("multiplicative mode needs per-point covariances")
+        cov_inv = linalg3.inv3(covs, eps=1e-30)
+        m_contrib = jnp.einsum("nij,nj->ni", cov_inv, points)
+        c_contrib = cov_inv
+    else:
+        if covs is None:
+            raise ValueError("additive mode needs per-point covariances")
+        m_contrib = points
+        c_contrib = covs
+
+    sum_means = (
+        jnp.zeros((capacity + 1, 3), dtype).at[vid].add(m_contrib * valid_f[:, None])
+    )[:capacity]
+    sum_covs = (
+        jnp.zeros((capacity + 1, 3, 3), dtype)
+        .at[vid]
+        .add(c_contrib * valid_f[:, None, None])
+    )[:capacity]
+
+    n_f = jnp.maximum(counts.astype(dtype), 1.0)[:, None]
+    if mode == "multiplicative":
+        covs_out = linalg3.inv3(sum_covs, eps=1e-30)
+        means = jnp.einsum("nij,nj->ni", covs_out, sum_means)
+    elif mode == "raw":
+        means = sum_means / n_f
+        covs_out = sum_covs / n_f[..., None] - means[:, :, None] * means[:, None, :]
+    else:
+        means = sum_means / n_f
+        covs_out = sum_covs / n_f[..., None]
+
+    # Voxel coords per voxel id (scatter from the sorted boundaries).
+    vcoords = (
+        jnp.zeros((capacity + 1, 3), jnp.int32)
+        .at[jnp.where(new_voxel, vid_sorted, capacity)]
+        .set(jnp.stack([cx, cy, cz], axis=-1))
+    )[:capacity]
+
+    table = _build_table(vcoords, num_voxels, capacity, table_size, max_probe)
+
+    return VoxelMap(
+        means=means,
+        covs=covs_out,
+        counts=counts,
+        coords=vcoords,
+        table=table,
+        num_voxels=num_voxels,
+        resolution=jnp.asarray(resolution, dtype),
+    )
+
+
+def _build_table(vcoords, num_voxels, capacity, table_size, max_probe):
+    """Vectorized open-addressing insert via scatter-min claiming rounds.
+
+    Each round every still-pending voxel tries to claim its current slot with
+    a scatter-min of its id; winners are exactly the ids stored afterwards.
+    Losers advance one slot (linear probing).  This is the dataflow
+    equivalent of the reference's atomicCAS probe loop
+    (gaussian_voxelmap.cu:21-58), with `max_probe` rounds instead of a
+    dynamic retry-and-grow policy.
+    """
+    mask_t = jnp.uint32(table_size - 1)
+    vids = jnp.arange(capacity, dtype=jnp.int32)
+    pending = vids < num_voxels
+    slot = (_hash_coords(vcoords) & mask_t).astype(jnp.int32)
+    table = jnp.full(table_size, _EMPTY, jnp.int32)
+
+    def body(_, state):
+        table, slot, pending = state
+        # Only EMPTY slots may be contested — a claim, once made, is final
+        # (otherwise a smaller id probing in later could steal the slot and
+        # orphan the earlier winner).
+        attempt = pending & (table[slot] == _EMPTY)
+        try_slot = jnp.where(attempt, slot, table_size)  # park non-attempts
+        table_ext = jnp.concatenate([table, jnp.full(1, _EMPTY, jnp.int32)])
+        table_ext = table_ext.at[try_slot].min(vids)
+        table = table_ext[:table_size]
+        claimed = attempt & (table[slot] == vids)
+        pending = pending & ~claimed
+        slot = jnp.where(pending, (slot + 1) & jnp.int32(table_size - 1), slot)
+        return table, slot, pending
+
+    table, _, pending = jax.lax.fori_loop(
+        0, max_probe, body, (table, slot, pending)
+    )
+    # Voxels still pending after max_probe rounds are dropped (the reference
+    # similarly caps bucket scans at 10 and regrows; with an 8x table this is
+    # vanishingly rare).
+    return table
+
+
+def lookup_voxels(vmap: VoxelMap, query_coords, max_probe: int = MAX_PROBE):
+    """Map integer coords (..., 3) -> voxel index, or -1 if absent.
+
+    Pure gather probe with exact coordinate verification; equivalent of
+    `lookup_voxel` (fast_vgicp_voxel.hpp:167-174 /
+    find_voxel_correspondences.cu:34-50).
+    """
+    table_size = vmap.table.shape[0]
+    mask_t = jnp.uint32(table_size - 1)
+    slot0 = (_hash_coords(query_coords) & mask_t).astype(jnp.int32)
+    found = jnp.full(query_coords.shape[:-1], -1, jnp.int32)
+
+    def body(p, found):
+        slot = (slot0 + p) & jnp.int32(table_size - 1)
+        vid = vmap.table[slot]
+        safe_vid = jnp.where(vid == _EMPTY, 0, vid)
+        match = (vid != _EMPTY) & jnp.all(
+            vmap.coords[safe_vid] == query_coords, axis=-1
+        )
+        return jnp.where((found < 0) & match, safe_vid, found)
+
+    return jax.lax.fori_loop(0, max_probe, body, found)
+
+
+def neighbor_offsets(method: str, radius: float = 1.5):
+    """Static offset list per search method (fast_vgicp_voxel.hpp:10-44;
+    RADIUS = all integer offsets with ||o|| <= radius,
+    fast_vgicp_cuda.cu:77-91)."""
+    import numpy as np
+
+    if method == "direct1":
+        offs = [(0, 0, 0)]
+    elif method == "direct7":
+        offs = [
+            (0, 0, 0),
+            (1, 0, 0),
+            (-1, 0, 0),
+            (0, 1, 0),
+            (0, -1, 0),
+            (0, 0, 1),
+            (0, 0, -1),
+        ]
+    elif method == "direct27":
+        offs = [
+            (i - 1, j - 1, k - 1)
+            for i in range(3)
+            for j in range(3)
+            for k in range(3)
+        ]
+    elif method == "direct_radius":
+        r = int(np.ceil(radius))
+        offs = [
+            (i, j, k)
+            for i in range(-r, r + 1)
+            for j in range(-r, r + 1)
+            for k in range(-r, r + 1)
+            if np.sqrt(i * i + j * j + k * k) <= radius
+        ]
+    else:
+        raise ValueError(f"unknown neighbor search method: {method}")
+    return np.asarray(offs, dtype=np.int32)

@@ -1,0 +1,159 @@
+"""SE(3)/SO(3) math on JAX arrays.
+
+TPU-native equivalent of the reference's SO3/SE3 layer
+(/root/reference/include/fast_gicp/so3/so3.hpp:9-104): skew matrices,
+quaternion-free Rodrigues `so3_exp` with the same small-angle Taylor switch
+(theta^2 < 1e-10), and rotation-first `se3_exp` with the V-matrix applied to
+the translation part.
+
+Everything is branchless (`jnp.where`) so it traces cleanly under `jit`,
+`vmap`, and `lax.while_loop`, and is dtype-polymorphic (f32 on the hot path).
+Twist convention matches the reference: ``xi = [omega, rho]`` (rotation first).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Small-angle switch matching reference so3.hpp:64 (theta_sq < 1e-10).
+_SMALL_ANGLE_SQ = 1e-10
+
+
+def skew(v):
+    """Skew-symmetric matrix of a 3-vector; batched over leading dims.
+
+    skew(v) @ x == cross(v, x).  Reference: so3.hpp:9-31.
+    """
+    v = jnp.asarray(v)
+    zero = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zero, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], zero, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_exp(omega):
+    """Exponential map so(3) -> SO(3) returning a rotation matrix.
+
+    Same numerics as the reference quaternion path (so3.hpp:58-77): for
+    theta_sq < 1e-10 use the 4th-order Taylor expansions of sin(t/2)/t and
+    cos(t/2), then convert the unit quaternion to a matrix.  Batched over
+    leading dims.
+    """
+    omega = jnp.asarray(omega)
+    theta_sq = jnp.sum(omega * omega, axis=-1)
+    small = theta_sq < _SMALL_ANGLE_SQ
+    # Guard sqrt(0) gradient and divides.
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
+    theta_quad = theta_sq * theta_sq
+
+    imag_taylor = 0.5 - theta_sq / 48.0 + theta_quad / 3840.0
+    real_taylor = 1.0 - theta_sq / 8.0 + theta_quad / 384.0
+    half_theta = 0.5 * theta
+    imag_exact = jnp.sin(half_theta) / theta
+    real_exact = jnp.cos(half_theta)
+
+    imag = jnp.where(small, imag_taylor, imag_exact)
+    real = jnp.where(small, real_taylor, real_exact)
+
+    qw = real
+    qx = imag * omega[..., 0]
+    qy = imag * omega[..., 1]
+    qz = imag * omega[..., 2]
+    return _quat_to_matrix(qw, qx, qy, qz)
+
+
+def _quat_to_matrix(w, x, y, z):
+    """Unit quaternion (w, x, y, z) to rotation matrix; batched."""
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    r00 = 1.0 - 2.0 * (yy + zz)
+    r01 = 2.0 * (xy - wz)
+    r02 = 2.0 * (xz + wy)
+    r10 = 2.0 * (xy + wz)
+    r11 = 1.0 - 2.0 * (xx + zz)
+    r12 = 2.0 * (yz - wx)
+    r20 = 2.0 * (xz - wy)
+    r21 = 2.0 * (yz + wx)
+    r22 = 1.0 - 2.0 * (xx + yy)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def se3_exp(xi):
+    """Exponential map se(3) -> SE(3) as a 4x4 homogeneous matrix.
+
+    Rotation-first twist ``xi = [omega(3), rho(3)]`` matching the reference
+    (so3.hpp:80-104): R = so3_exp(omega), t = V @ rho with
+    V = I + (1-cos)/t^2 * W + (t - sin)/t^3 * W^2, and V := R for tiny theta.
+    Batched over leading dims.
+    """
+    xi = jnp.asarray(xi)
+    omega = xi[..., :3]
+    rho = xi[..., 3:6]
+
+    theta_sq = jnp.sum(omega * omega, axis=-1)
+    small = theta_sq < _SMALL_ANGLE_SQ
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
+
+    R = so3_exp(omega)
+    W = skew(omega)
+    W_sq = W @ W
+
+    a = (1.0 - jnp.cos(theta)) / theta_sq
+    b = (theta - jnp.sin(theta)) / (theta_sq * theta)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
+    V_exact = eye + a[..., None, None] * W + b[..., None, None] * W_sq
+    V = jnp.where(small[..., None, None], R, V_exact)
+
+    t = jnp.einsum("...ij,...j->...i", V, rho)
+    return make_transform(R, t)
+
+
+def make_transform(R, t):
+    """Assemble a 4x4 homogeneous transform from R (.., 3, 3) and t (.., 3)."""
+    R = jnp.asarray(R)
+    t = jnp.asarray(t)
+    batch = R.shape[:-2]
+    T = jnp.zeros(batch + (4, 4), dtype=R.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
+def transform_points(T, points):
+    """Apply a 4x4 transform to (..., N, 3) points."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    return points @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+
+
+def rotate_covs(R, covs):
+    """R C R^T for batched 3x3 covariances (N, 3, 3)."""
+    return jnp.einsum("ij,njk,lk->nil", R, covs, R)
+
+
+def invert_transform(T):
+    """Inverse of a rigid 4x4 transform."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    return make_transform(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+
+
+def rotation_angle(R):
+    """Angle (rad) of a rotation matrix, via trace."""
+    cos = (jnp.trace(R, axis1=-2, axis2=-1) - 1.0) * 0.5
+    return jnp.arccos(jnp.clip(cos, -1.0, 1.0))

@@ -1,0 +1,32 @@
+"""Voxel-grid downsampling (host-side numpy).
+
+Equivalent of pcl::ApproximateVoxelGrid / pcl::VoxelGrid as used by the
+reference apps and tests (align.cpp:30-36 res 0.1, kitti.cpp:79-84 res 0.25,
+gicp_test.cpp:36-44 res 0.2, python main.cpp:46-62): one output point per
+occupied voxel at the centroid of its members.  Exact (hash-collision-free),
+which the "Approximate" PCL variant is not — point counts can differ by a
+few points; registration results are insensitive to this.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def voxel_downsample(points: np.ndarray, resolution: float) -> np.ndarray:
+    """Centroid-per-voxel downsample of (N, 3) points; resolution <= 0 is a
+    passthrough (align_points' downsample_resolution=-1 convention,
+    python/main.cpp:70-76)."""
+    if resolution is None or resolution <= 0:
+        return np.ascontiguousarray(points[:, :3], dtype=np.float32)
+    pts = np.asarray(points[:, :3], dtype=np.float64)
+    coords = np.floor(pts / resolution).astype(np.int64)
+    # Pack 3x21-bit (re-based) coords into one int64 key for np.unique.
+    cmin = coords.min(axis=0)
+    c = coords - cmin
+    key = (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros((uniq.shape[0], 3), dtype=np.float64)
+    np.add.at(sums, inv, pts)
+    counts = np.bincount(inv, minlength=uniq.shape[0]).astype(np.float64)
+    return (sums / counts[:, None]).astype(np.float32)

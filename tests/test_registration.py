@@ -1,0 +1,123 @@
+"""End-to-end registration tests on the bundled LiDAR pair — the
+equivalent of the reference GTest AlignmentTest (gicp_test.cpp:141-201):
+translation error < 0.05 m and rotation error < 1 deg vs data/relative.txt,
+in forward / backward / swap scenarios.
+
+CPU note: tests downsample at 0.3 m (~5k points) to keep the brute-force
+NN search fast on the CPU test backend; bench.py runs the full 0.1 m clouds
+on TPU.  Accuracy tolerances are the reference's own.
+"""
+
+import numpy as np
+import pytest
+
+from fast_gicp_tpu import FastGICP, pose_error
+from fast_gicp_tpu.models.ndt import NDTCuda
+from fast_gicp_tpu.models.vgicp import FastVGICP
+from fast_gicp_tpu.utils.downsample import voxel_downsample
+from fast_gicp_tpu.utils.io import load_pcd, load_relative_txt
+
+T_TOL = 0.05
+R_TOL = np.deg2rad(1.0)
+
+
+@pytest.fixture(scope="module")
+def pair_coarse():
+    from tests.conftest import REFERENCE_DATA
+
+    target = voxel_downsample(load_pcd(str(REFERENCE_DATA / "251370668.pcd")), 0.3)
+    source = voxel_downsample(load_pcd(str(REFERENCE_DATA / "251371071.pcd")), 0.3)
+    gt = load_relative_txt(str(REFERENCE_DATA / "relative.txt"))
+    return source, target, gt
+
+
+def _check(est, gt):
+    t_err, r_err = pose_error(gt.astype(np.float32), est.astype(np.float32))
+    assert float(t_err) < T_TOL, f"translation error {float(t_err):.4f}"
+    assert float(r_err) < R_TOL, f"rotation error {np.rad2deg(float(r_err)):.3f} deg"
+
+
+def _forward_backward_swap(reg, pair):
+    source, target, gt = pair
+    # forward
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    est = reg.align()
+    assert reg.has_converged()
+    _check(est, gt)
+
+    # backward: aligning the other way must give the inverse
+    reg.set_input_target(source)
+    reg.set_input_source(target)
+    est = reg.align()
+    assert reg.has_converged()
+    _check(est, np.linalg.inv(gt))
+
+    # swap semantics: swap back to forward orientation, reusing covariances
+    reg.swap_source_and_target()
+    est = reg.align()
+    assert reg.has_converged()
+    _check(est, gt)
+
+
+def test_gicp_alignment(pair_coarse):
+    _forward_backward_swap(FastGICP(), pair_coarse)
+
+
+def test_vgicp_alignment(pair_coarse):
+    _forward_backward_swap(FastVGICP(), pair_coarse)
+
+
+def test_vgicp_direct7(pair_coarse):
+    source, target, gt = pair_coarse
+    reg = FastVGICP()
+    reg.set_neighbor_search_method("direct7")
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    _check(reg.align(), gt)
+
+
+def test_vgicp_rbf_covariances(pair_coarse):
+    source, target, gt = pair_coarse
+    reg = FastVGICP()
+    reg.set_nearest_neighbor_method("rbf")
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    _check(reg.align(), gt)
+
+
+def test_ndt_d2d_alignment(pair_coarse):
+    source, target, gt = pair_coarse
+    reg = NDTCuda()
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    est = reg.align()
+    assert reg.has_converged()
+    _check(est, gt)
+
+
+def test_ndt_p2d_alignment(pair_coarse):
+    # P2D NDT is intrinsically coarser; the reference test suite only covers
+    # the default D2D mode (ndt_cuda.cu:21), so bound P2D at 2x tolerance.
+    source, target, gt = pair_coarse
+    reg = NDTCuda()
+    reg.set_distance_mode("p2d")
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    est = reg.align()
+    t_err, r_err = __import__("fast_gicp_tpu").pose_error(
+        gt.astype(np.float32), est.astype(np.float32))
+    assert float(t_err) < 2 * T_TOL
+    assert float(r_err) < 2 * R_TOL
+
+
+def test_gicp_fitness_score(pair_coarse):
+    source, target, gt = pair_coarse
+    reg = FastGICP()
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    reg.align()
+    # Reference fitness at 0.1 m downsampling is ~0.204 (README.md:118-134);
+    # at 0.4 m it is coarser — just bound it loosely and require sanity.
+    fitness = reg.get_fitness_score()
+    assert 0.0 < fitness < 1.0

@@ -1,0 +1,87 @@
+"""LM/GN driver tests on a synthetic point-to-point objective with a known
+optimum (the solver is algorithm-agnostic; models plug in linearize/error)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_gicp_tpu import se3
+from fast_gicp_tpu.solver import LsqConfig, lsq_solve
+from fast_gicp_tpu.ops.reduction import error_reduce, linearize_reduce
+
+
+def make_point_objective(source, target):
+    """Point-to-point least squares (M = I): e_i = q_i - T p_i."""
+    n = source.shape[0]
+    M = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+    w = jnp.ones(n, jnp.float32)
+    valid = jnp.ones(n, bool)
+
+    def linearize(x):
+        p_t = se3.transform_points(x, source)
+        err, H, b = linearize_reduce(p_t, target, M, w, valid)
+        return err, H, b, ()
+
+    def error(x, _aux):
+        p_t = se3.transform_points(x, source)
+        return error_reduce(p_t, target, M, w, valid)
+
+    return linearize, error
+
+
+def _setup(rng, n=256, twist_scale=0.2):
+    src = rng.normal(size=(n, 3)).astype(np.float32) * 5.0
+    xi = (rng.normal(size=6) * twist_scale).astype(np.float32)
+    T_true = se3.se3_exp(jnp.asarray(xi))
+    tgt = se3.transform_points(T_true, jnp.asarray(src))
+    return jnp.asarray(src), tgt, np.asarray(T_true)
+
+
+def test_lm_recovers_pose(rng):
+    src, tgt, T_true = _setup(rng)
+    lin, err = make_point_objective(src, tgt)
+    res = lsq_solve(lin, err, jnp.eye(4, dtype=jnp.float32), LsqConfig())
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.transformation), T_true, atol=2e-4)
+    assert float(res.error) >= 0
+
+
+def test_gn_recovers_pose(rng):
+    src, tgt, T_true = _setup(rng)
+    lin, err = make_point_objective(src, tgt)
+    res = lsq_solve(
+        lin, err, jnp.eye(4, dtype=jnp.float32), LsqConfig(optimizer="gn")
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.transformation), T_true, atol=2e-4)
+
+
+def test_solver_is_jittable(rng):
+    src, tgt, _ = _setup(rng)
+    lin, err = make_point_objective(src, tgt)
+
+    @jax.jit
+    def run(guess):
+        return lsq_solve(lin, err, guess, LsqConfig())
+
+    res = run(jnp.eye(4, dtype=jnp.float32))
+    assert bool(res.converged)
+    assert int(res.iterations) < 64
+
+
+def test_lm_from_far_guess(rng):
+    src, tgt, T_true = _setup(rng, twist_scale=0.5)
+    lin, err = make_point_objective(src, tgt)
+    guess = se3.se3_exp(jnp.asarray(np.float32([0.1, -0.1, 0.2, 1.0, 0.5, -0.5])))
+    res = lsq_solve(lin, err, guess, LsqConfig())
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.transformation), T_true, atol=5e-4)
+
+
+def test_hessian_is_spd_at_optimum(rng):
+    src, tgt, _ = _setup(rng)
+    lin, err = make_point_objective(src, tgt)
+    res = lsq_solve(lin, err, jnp.eye(4, dtype=jnp.float32), LsqConfig())
+    H = np.asarray(res.hessian)
+    np.testing.assert_allclose(H, H.T, rtol=1e-4, atol=1e-3)
+    assert np.all(np.linalg.eigvalsh(H) > 0)

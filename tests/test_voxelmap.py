@@ -1,0 +1,127 @@
+"""Voxel map build/lookup tests vs a dict-based Python reference."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fast_gicp_tpu.ops.voxelmap import (
+    build_voxelmap,
+    lookup_voxels,
+    neighbor_offsets,
+    voxel_coord,
+)
+
+
+def _ref_voxels(pts, res):
+    """Python-dict reference of additive accumulation (coord -> members)."""
+    coords = np.floor(pts / res - 0.5).astype(np.int64)
+    table = {}
+    for i, c in enumerate(map(tuple, coords)):
+        table.setdefault(c, []).append(i)
+    return table
+
+
+def _cloud(rng, n=500, pad=76):
+    pts = (rng.uniform(size=(n, 3)) * 20 - 10).astype(np.float32)
+    padded = np.zeros((n + pad, 3), np.float32)
+    padded[:n] = pts
+    mask = np.zeros(n + pad, bool)
+    mask[:n] = True
+    return pts, jnp.asarray(padded), jnp.asarray(mask)
+
+
+def test_voxel_coord_convention():
+    # floor(x/res - 0.5): x=0.9, res=1.0 -> floor(0.4) = 0; x=1.6 -> 1
+    pts = jnp.asarray([[0.9, 1.6, -0.2]], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(voxel_coord(pts, 1.0)), [[0, 1, -1]])
+
+
+def test_build_additive_matches_reference(rng):
+    pts, p, m = _cloud(rng)
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (p.shape[0], 3, 3))
+    res = 2.0
+    vm = build_voxelmap(p, m, res, covs=covs, mode="additive")
+    ref = _ref_voxels(pts, res)
+    assert int(vm.num_voxels) == len(ref)
+
+    counts = np.asarray(vm.counts)
+    means = np.asarray(vm.means)
+    vcoords = np.asarray(vm.coords)
+    nv = int(vm.num_voxels)
+    got = {tuple(vcoords[i]): (counts[i], means[i]) for i in range(nv)}
+    for c, members in ref.items():
+        assert c in got, f"missing voxel {c}"
+        n_got, mean_got = got[c]
+        assert n_got == len(members)
+        np.testing.assert_allclose(
+            mean_got, pts[members].mean(0), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_lookup_finds_all_and_rejects_absent(rng):
+    pts, p, m = _cloud(rng)
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (p.shape[0], 3, 3))
+    res = 1.0
+    vm = build_voxelmap(p, m, res, covs=covs, mode="additive")
+    ref = _ref_voxels(pts, res)
+
+    q = np.array(list(ref.keys()), np.int32)
+    ids = np.asarray(lookup_voxels(vm, jnp.asarray(q)))
+    assert np.all(ids >= 0)
+    vcoords = np.asarray(vm.coords)
+    np.testing.assert_array_equal(vcoords[ids], q)
+
+    # coords far outside the cloud must miss
+    q_bad = jnp.asarray([[999, 999, 999], [-500, 3, 1]], jnp.int32)
+    assert np.all(np.asarray(lookup_voxels(vm, q_bad)) == -1)
+
+
+def test_multiplicative_mode(rng):
+    pts, p, m = _cloud(rng, n=200, pad=56)
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 2.0, (p.shape[0], 3, 3))
+    vm = build_voxelmap(p, m, 2.0, covs=covs, mode="multiplicative")
+    nv = int(vm.num_voxels)
+    counts = np.asarray(vm.counts)[:nv]
+    covs_out = np.asarray(vm.covs)[:nv]
+    means = np.asarray(vm.means)[:nv]
+    # With identical member covs C, fused cov = C / n and mean = average.
+    for i in range(nv):
+        np.testing.assert_allclose(
+            covs_out[i], np.eye(3) * 2.0 / counts[i], rtol=1e-3, atol=1e-4
+        )
+    assert np.isfinite(means).all()
+
+
+def test_raw_mode_ndt_statistics(rng):
+    pts, p, m = _cloud(rng, n=400, pad=112)
+    res = 4.0
+    vm = build_voxelmap(p, m, res, mode="raw")
+    ref = _ref_voxels(pts, res)
+    vcoords = np.asarray(vm.coords)
+    nv = int(vm.num_voxels)
+    got = {tuple(vcoords[i]): i for i in range(nv)}
+    for c, members in ref.items():
+        i = got[c]
+        mem = pts[members].astype(np.float64)
+        mu = mem.mean(0)
+        cov = (mem.T @ mem) / len(mem) - np.outer(mu, mu)
+        np.testing.assert_allclose(np.asarray(vm.means)[i], mu, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vm.covs)[i], cov, atol=1e-3)
+
+
+def test_neighbor_offsets():
+    assert neighbor_offsets("direct1").shape == (1, 3)
+    assert neighbor_offsets("direct7").shape == (7, 3)
+    assert neighbor_offsets("direct27").shape == (27, 3)
+    r = neighbor_offsets("direct_radius", 1.5)
+    norms = np.linalg.norm(r, axis=1)
+    assert np.all(norms <= 1.5) and (r.shape[0] > 7)
+
+
+def test_masked_points_excluded(rng):
+    pts, p, m = _cloud(rng, n=100, pad=28)
+    # Put garbage in padded region; it must not create voxels.
+    p = p.at[100:].set(1e6)
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (p.shape[0], 3, 3))
+    vm = build_voxelmap(p, m, 1.0, covs=covs, mode="additive")
+    assert int(vm.num_voxels) == len(_ref_voxels(pts, 1.0))
+    assert int(np.asarray(vm.counts).sum()) == 100
