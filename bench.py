@@ -1,0 +1,93 @@
+"""Benchmark: VGICP registrations/sec on the reference's bundled 17k-pt pair.
+
+Mirrors the reference's `gicp_align` "100times" protocol (align.cpp:56-103):
+each iteration re-estimates both clouds' covariances (RBF kernel path — the
+reference's fastest config, vgicp_cuda gpu_rbf_kernel) and runs a full VGICP
+align.  Baseline = the reference's best: vgicp_cuda gpu_rbf_kernel 100times
+= 590.725 ms / 100 aligns = 169.28 reg/s on an RTX 2080 Ti (README.md:134).
+
+Timing methodology (IMPORTANT on the axon TPU tunnel): `block_until_ready`
+does not block and every device->host force costs a flat ~35 ms round trip,
+so we enqueue N iterations back-to-back and force only the final result —
+the same thing the reference's 100x wall-clock loop measures.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "registrations/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_REG_PER_SEC = 100.0 / 0.590725  # vgicp_cuda gpu_rbf_kernel 100times
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.vgicp import VGICPConfig, vgicp_align
+    from fast_gicp_tpu.models.metrics import fitness_score
+    from fast_gicp_tpu.ops.covariance import rbf_covariances_jit
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from fast_gicp_tpu.utils.io import load_pcd, load_relative_txt, strip_near_origin
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    data = "/root/reference/data"
+    target = voxel_downsample(strip_near_origin(load_pcd(f"{data}/251370668.pcd")), 0.1)
+    source = voxel_downsample(strip_near_origin(load_pcd(f"{data}/251371071.pcd")), 0.1)
+    gt = load_relative_txt(f"{data}/relative.txt")
+
+    sp, sm = map(jnp.asarray, pad_points(source))
+    tp, tm = map(jnp.asarray, pad_points(target))
+    guess = jnp.eye(4, dtype=jnp.float32)
+    config = VGICPConfig()
+
+    def one_registration():
+        scovs = rbf_covariances_jit(sp, sm)
+        tcovs = rbf_covariances_jit(tp, tm)
+        return vgicp_align(sp, sm, scovs, tp, tm, tcovs, guess, config)
+
+    # Warm-up / compile (the reference warms the GPU at construction,
+    # fast_vgicp_cuda.cu:20).
+    result = one_registration()
+    T = np.asarray(result.transformation)
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    results = [one_registration() for _ in range(n_iters)]
+    np.asarray(results[-1].transformation)  # force the chain
+    dt = (time.perf_counter() - t0) / n_iters
+    reg_per_sec = 1.0 / dt
+
+    # Accuracy sanity (reported to stderr; the JSON line stays clean).
+    delta = np.linalg.inv(gt) @ T
+    t_err = float(np.linalg.norm(delta[:3, 3]))
+    fitness = float(
+        fitness_score(result.transformation, sp, sm, tp, tm)
+    )
+    print(
+        f"# device={jax.devices()[0]} n_src={len(source)} n_tgt={len(target)} "
+        f"t_err={t_err:.4f}m fitness={fitness:.4f} (ref 0.204) "
+        f"iters={int(result.iterations)} ms_per_reg={dt * 1000:.2f}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "vgicp_17k_pair_registrations_per_sec",
+                "value": round(reg_per_sec, 2),
+                "unit": "registrations/sec",
+                "vs_baseline": round(reg_per_sec / BASELINE_REG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -240,7 +240,9 @@ def lookup_voxels(vmap: VoxelMap, query_coords, max_probe: int = MAX_PROBE):
     table_size = vmap.table.shape[0]
     mask_t = jnp.uint32(table_size - 1)
     slot0 = (_hash_coords(query_coords) & mask_t).astype(jnp.int32)
-    found = jnp.full(query_coords.shape[:-1], -1, jnp.int32)
+    # Derive the carry init from the query data (not a constant) so its
+    # device-varying type matches the loop body under shard_map.
+    found = jnp.sum(query_coords, axis=-1) * 0 - 1
 
     def body(p, found):
         slot = (slot0 + p) & jnp.int32(table_size - 1)
