@@ -32,6 +32,7 @@ from ..ops.reduction import error_reduce, linearize_reduce
 from ..ops.voxelmap import (
     VoxelMap,
     build_voxelmap,
+    gather_voxel_stats,
     lookup_voxels,
     neighbor_offsets,
     voxel_coord,
@@ -58,7 +59,10 @@ def _ndt_voxelmap(points, mask, resolution) -> VoxelMap:
     (gaussian_voxelmap.cu ndt_finalize_voxels_kernel + ndt_cuda.cu:120-140)."""
     vm = build_voxelmap(points, mask, resolution, mode="raw")
     covs = regularize_covariances(vm.covs, "min_eig")
-    return vm._replace(covs=covs)
+    # Keep the gather-optimized packed stats in sync with the regularized covs.
+    c = covs.shape[0]
+    packed = vm.packed.at[:, 3:12].set(covs.reshape(c, 9))
+    return vm._replace(covs=covs, packed=packed)
 
 
 def _cauchy_weight(resolution, e_norm_sq):
@@ -105,8 +109,7 @@ def make_ndt_objective(
     def linearize(x):
         R = x[:3, :3]
         p_t, vids, valid = correspondences(x)
-        mu_B = vmap.means[vids]
-        cov_B = vmap.covs[vids]
+        mu_B, cov_B, _n_B = gather_voxel_stats(vmap, vids)
         if src_covs is None:  # P2D: M = cov_B^-1
             M = linalg3.inv3(cov_B)
         else:  # D2D: M = (cov_B + R C_A R^T)^-1 at the linearization point

@@ -32,7 +32,13 @@ from .. import se3
 from ..ops import linalg3
 from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
 from ..ops.reduction import error_reduce, linearize_reduce
-from ..ops.voxelmap import build_voxelmap, lookup_voxels, neighbor_offsets, voxel_coord
+from ..ops.voxelmap import (
+    build_voxelmap,
+    gather_voxel_stats,
+    lookup_voxels,
+    neighbor_offsets,
+    voxel_coord,
+)
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
 from .base import Cloud, Registration
@@ -84,9 +90,7 @@ def make_vgicp_objective(
     def linearize(x):
         R = x[:3, :3]
         p_t, vids, valid = correspondences(x)
-        mu_B = vmap.means[vids]  # (N, K, 3)
-        cov_B = vmap.covs[vids]  # (N, K, 3, 3)
-        n_B = vmap.counts[vids].astype(source.dtype)  # (N, K)
+        mu_B, cov_B, n_B = gather_voxel_stats(vmap, vids)  # one row-gather
 
         cov_rot = se3.rotate_covs(R, source_covs)  # (N, 3, 3)
         M = linalg3.inv3(cov_B + cov_rot[:, None]) * valid[..., None, None]

@@ -1,0 +1,181 @@
+"""Pallas TPU kernels for the N^2 hot ops.
+
+The XLA-only paths in neighbors.py / covariance.py materialize (chunk x N)
+distance tiles to HBM (~1.4 GB per 18k-point call) because XLA cannot fuse
+elementwise producers into matmul operands.  These kernels keep every
+distance tile in VMEM:
+
+  * `nn_search_pallas` — fused distance + running argmin over target tiles
+    (the reference's per-iteration kdtree query, fast_gicp_impl.hpp:136, and
+    the GPU heap scan, brute_force_knn.cu:94-108).
+  * `rbf_moments_pallas` — fused distance + exp weight + (w @ moment-feature)
+    MXU accumulation (covariance_estimation_rbf.cu:59-90).
+
+Layout: point clouds are passed transposed as (8, N) f32 — rows 0..2 are
+x,y,z, row 3 is the squared norm (+BIG for masked points), rows 4..7 pad the
+sublane dim — so the lane (last) dimension is the large one, matching the
+f32 (8, 128) tile.  Grids iterate (query tile) x (target tile) with the
+target axis innermost; outputs revisit the same block across the inner axis
+(sequential on TPU), accumulating in place.
+
+All kernels have jnp reference semantics tested against neighbors.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .neighbors import MASK_COORD
+
+# Tile sizes: query rows per step x target cols per step.
+_QT = 256
+_TT = 512
+
+_BIG = 3.0e38  # python float: jnp constants can't be captured by kernels
+
+
+def _prep_transposed(points, mask):
+    """(N, 3) + mask -> (8, N) layout [x, y, z, |p|^2 or BIG, 0...]."""
+    n = points.shape[0]
+    xyz = jnp.where(mask[:, None], points, MASK_COORD).T  # (3, N)
+    sq = jnp.sum(xyz * xyz, axis=0, keepdims=True)  # (1, N)
+    pad = jnp.zeros((4, n), points.dtype)
+    return jnp.concatenate([xyz, sq, pad], axis=0)
+
+
+def _nn_kernel(q_ref, t_ref, idx_ref, dist_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+        dist_ref[:] = jnp.full_like(dist_ref, _BIG)
+
+    q = q_ref[:]  # (8, QT)
+    t = t_ref[:]  # (8, TT)
+    # d = |q|^2 - 2 q.t + |t|^2 ; contraction over the 3 coordinate rows.
+    qt = jax.lax.dot_general(
+        q[:3], t[:3], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes
+    )  # (QT, TT)
+    d = q[3][:, None] - 2.0 * qt + t[3][None, :]
+
+    local_min = jnp.min(d, axis=1)  # (QT,)
+    local_arg = jnp.argmin(d, axis=1).astype(jnp.int32)
+    global_arg = local_arg + j * _TT
+
+    best = dist_ref[:, 0]
+    better = local_min < best
+    dist_ref[:, 0] = jnp.where(better, local_min, best)
+    idx_ref[:, 0] = jnp.where(better, global_arg, idx_ref[:, 0])
+
+
+@jax.jit
+def nn_search_pallas(query, target, target_mask):
+    """Fused 1-NN: returns (idx int32 (Nq,), sq_dist f32 (Nq,)).
+
+    Query rows may be masked garbage; results for them are arbitrary but
+    finite (downstream masks apply, as everywhere in this codebase).
+    """
+    nq, nt = query.shape[0], target.shape[0]
+    if nq % _QT or nt % _TT:
+        raise ValueError(f"sizes ({nq},{nt}) not multiples of ({_QT},{_TT})")
+    qT = _prep_transposed(query, jnp.ones(nq, bool))
+    tT = _prep_transposed(target, target_mask)
+
+    grid = (nq // _QT, nt // _TT)
+    idx, dist = pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, _QT), lambda i, j: (0, i)),
+            pl.BlockSpec((8, _TT), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_QT, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((_QT, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nq, 1), jnp.float32),
+        ],
+    )(qT, tT)
+    # Masked targets sit at MASK_COORD -> huge distances; exact distance via
+    # the winning index (the tiled |q|^2-2qt+|t|^2 is f32-exact already).
+    return idx[:, 0], jnp.maximum(dist[:, 0], 0.0)
+
+
+def _rbf_kernel(kw_ref, md_ref, q_ref, t_ref, f_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    q = q_ref[:]
+    t = t_ref[:]
+    qt = jax.lax.dot_general(
+        q[:3], t[:3], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = q[3][:, None] - 2.0 * qt + t[3][None, :]  # (QT, TT)
+    kw = kw_ref[0]
+    md_sq = md_ref[0]
+    w = jnp.where(d <= md_sq, jnp.exp(-kw * d), 0.0)
+    # Masked target points carry |t|^2 ~ 1e18 -> d > md_sq -> w = 0.
+    out_ref[:] += jax.lax.dot_general(
+        w, f_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def rbf_moments_pallas(points, mask, kernel_width, max_dist):
+    """Fused RBF moment accumulation: returns (N, 16) where columns are
+    [sum_w, sum_w*x (3), sum_w*xx^T (9), pad (3)].
+
+    Equivalent math to covariance_estimation_rbf.cu:59-90 with exact
+    masking (the reference lets zero-padded points contribute; we don't).
+    """
+    n = points.shape[0]
+    if n % _QT:
+        raise ValueError(f"n={n} not a multiple of {_QT}")
+    pT = _prep_transposed(points, mask)
+
+    # Moment features (N, 16): [1, x, y, z, vec(xx^T), 0, 0, 0] — 16 wide to
+    # keep the MXU operand small; masked rows zeroed so they contribute
+    # nothing even when inside max_dist.
+    x = points
+    outer = (x[:, :, None] * x[:, None, :]).reshape(n, 9)
+    feats = jnp.concatenate(
+        [jnp.ones((n, 1), x.dtype), x, outer, jnp.zeros((n, 3), x.dtype)],
+        axis=1,
+    )
+    feats = feats * mask[:, None]
+
+    kw = jnp.full((1,), kernel_width, jnp.float32)
+    md = jnp.full((1,), max_dist * max_dist, jnp.float32)
+
+    grid = (n // _QT, n // _TT)
+    out = pl.pallas_call(
+        _rbf_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, _QT), lambda i, j: (0, i)),
+            pl.BlockSpec((8, _TT), lambda i, j: (0, j)),
+            pl.BlockSpec((_TT, 16), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((_QT, 16), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
+    )(kw, md, pT, pT, feats)
+    return out

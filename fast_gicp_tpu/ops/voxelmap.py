@@ -62,7 +62,13 @@ def _hash_coords(coords):
 
 
 class VoxelMap(NamedTuple):
-    """Fixed-capacity Gaussian voxel map (device arrays)."""
+    """Fixed-capacity Gaussian voxel map (device arrays).
+
+    `packed` and `lut` are gather-optimized duplicates: TPU gathers dominate
+    the correspondence path, so voxel stats ride in ONE row-gather of 16
+    floats (instead of 3 gathers) and the hash table stores its own
+    verification coords (one 4-int gather per probe instead of two).
+    """
 
     means: jax.Array  # (C, 3) finalized voxel means
     covs: jax.Array  # (C, 3, 3) finalized voxel covariances
@@ -71,6 +77,8 @@ class VoxelMap(NamedTuple):
     table: jax.Array  # (T,) int32 open-addressing table -> voxel index
     num_voxels: jax.Array  # () int32
     resolution: jax.Array  # () f32
+    packed: jax.Array  # (C, 16) f32 [mean(3), cov(9), count, pad(3)]
+    lut: jax.Array  # (T, 4) int32 [voxel index, cx, cy, cz]
 
 
 def next_pow2(n: int) -> int:
@@ -131,9 +139,6 @@ def build_voxelmap(
     vid = jnp.zeros(n, dtype=jnp.int32).at[order].set(vid_sorted)
 
     valid_f = mask.astype(dtype)
-    counts = (
-        jnp.zeros(capacity + 1, jnp.int32).at[vid].add(mask.astype(jnp.int32))
-    )[:capacity]
 
     if mode == "raw":
         m_contrib = points
@@ -150,14 +155,17 @@ def build_voxelmap(
         m_contrib = points
         c_contrib = covs
 
-    sum_means = (
-        jnp.zeros((capacity + 1, 3), dtype).at[vid].add(m_contrib * valid_f[:, None])
+    # One fused scatter for [count | sum mean | sum cov] (scatters have high
+    # fixed cost on TPU; three separate ones measurably slow the build).
+    contrib = jnp.concatenate(
+        [jnp.ones((n, 1), dtype), m_contrib, c_contrib.reshape(n, 9)], axis=1
+    ) * valid_f[:, None]
+    acc = (
+        jnp.zeros((capacity + 1, 13), dtype).at[vid].add(contrib)
     )[:capacity]
-    sum_covs = (
-        jnp.zeros((capacity + 1, 3, 3), dtype)
-        .at[vid]
-        .add(c_contrib * valid_f[:, None, None])
-    )[:capacity]
+    counts = acc[:, 0].astype(jnp.int32)
+    sum_means = acc[:, 1:4]
+    sum_covs = acc[:, 4:13].reshape(capacity, 3, 3)
 
     n_f = jnp.maximum(counts.astype(dtype), 1.0)[:, None]
     if mode == "multiplicative":
@@ -179,6 +187,21 @@ def build_voxelmap(
 
     table = _build_table(vcoords, num_voxels, capacity, table_size, max_probe)
 
+    packed = jnp.concatenate(
+        [
+            means,
+            covs_out.reshape(capacity, 9),
+            counts.astype(dtype)[:, None],
+            jnp.zeros((capacity, 3), dtype),
+        ],
+        axis=1,
+    )
+    safe_t = jnp.maximum(table, 0) * (table != _EMPTY)
+    lut_coords = jnp.where(
+        (table != _EMPTY)[:, None], vcoords[safe_t], _COORD_SENTINEL
+    )
+    lut = jnp.concatenate([table[:, None], lut_coords], axis=1)
+
     return VoxelMap(
         means=means,
         covs=covs_out,
@@ -187,6 +210,8 @@ def build_voxelmap(
         table=table,
         num_voxels=num_voxels,
         resolution=jnp.asarray(resolution, dtype),
+        packed=packed,
+        lut=lut,
     )
 
 
@@ -233,9 +258,9 @@ def _build_table(vcoords, num_voxels, capacity, table_size, max_probe):
 def lookup_voxels(vmap: VoxelMap, query_coords, max_probe: int = MAX_PROBE):
     """Map integer coords (..., 3) -> voxel index, or -1 if absent.
 
-    Pure gather probe with exact coordinate verification; equivalent of
-    `lookup_voxel` (fast_vgicp_voxel.hpp:167-174 /
-    find_voxel_correspondences.cu:34-50).
+    Pure gather probe with exact coordinate verification (one 4-int row
+    gather per probe via the lut); equivalent of `lookup_voxel`
+    (fast_vgicp_voxel.hpp:167-174 / find_voxel_correspondences.cu:34-50).
     """
     table_size = vmap.table.shape[0]
     mask_t = jnp.uint32(table_size - 1)
@@ -246,14 +271,20 @@ def lookup_voxels(vmap: VoxelMap, query_coords, max_probe: int = MAX_PROBE):
 
     def body(p, found):
         slot = (slot0 + p) & jnp.int32(table_size - 1)
-        vid = vmap.table[slot]
-        safe_vid = jnp.where(vid == _EMPTY, 0, vid)
-        match = (vid != _EMPTY) & jnp.all(
-            vmap.coords[safe_vid] == query_coords, axis=-1
-        )
-        return jnp.where((found < 0) & match, safe_vid, found)
+        row = vmap.lut[slot]  # (..., 4): [vid, cx, cy, cz]
+        match = jnp.all(row[..., 1:4] == query_coords, axis=-1)
+        return jnp.where((found < 0) & match, row[..., 0], found)
 
     return jax.lax.fori_loop(0, max_probe, body, found)
+
+
+def gather_voxel_stats(vmap: VoxelMap, vids):
+    """(means, covs, counts_f32) for voxel ids (...,) in one row-gather."""
+    rows = vmap.packed[vids]  # (..., 16)
+    means = rows[..., 0:3]
+    covs = rows[..., 3:12].reshape(rows.shape[:-1] + (3, 3))
+    counts = rows[..., 12]
+    return means, covs, counts
 
 
 def neighbor_offsets(method: str, radius: float = 1.5):
