@@ -40,7 +40,7 @@ _EMPTY = jnp.int32(2**30)  # empty hash slot marker (scatter-min identity)
 # probe round is a full gather+scatter pass (~0.3 ms at 18k voxels on TPU),
 # so the bound is kept tight.  Insert displacement can never exceed lookup's
 # probe depth since both use this constant.
-MAX_PROBE = 8
+MAX_PROBE = 4
 
 ACCUMULATION_MODES = ("additive", "additive_weighted", "multiplicative", "raw")
 

@@ -52,6 +52,81 @@ def run_odometry(
     return poses
 
 
+def run_odometry_batched(
+    scans: Iterable[np.ndarray],
+    downsample_resolution: float = 0.25,
+    batch_size: int = 16,
+    covariance: str = "rbf",
+    config=None,
+) -> List[np.ndarray]:
+    """Throughput-mode scan-to-scan odometry: batched VGICP over pairs.
+
+    The reference processes frames serially (kitti.cpp:115-128).  Scan-to-
+    scan deltas are independent, so on TPU we (1) compute every scan's
+    covariances once — each scan serves as source of pair i and target of
+    pair i+1, halving covariance work vs the serial swap loop — and (2) vmap
+    `batch_size` registrations into one fused device program.  Poses are
+    chained on the host afterwards: poses[i] = poses[i-1] @ delta_i.
+
+    Trades the serial loop's warm-start locality for B-fold arithmetic
+    intensity; returns the same pose list shape as `run_odometry`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.batch import vgicp_align_batch
+    from ..models.vgicp import VGICPConfig
+    from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
+    from .padding import bucket_size, pad_points
+
+    config = config or VGICPConfig()
+    clouds = [voxel_downsample(s, downsample_resolution) for s in scans]
+    if len(clouds) < 2:
+        return [np.eye(4)] * len(clouds)
+    bucket = max(bucket_size(len(c)) for c in clouds)
+    padded = [pad_points(c, bucket) for c in clouds]
+    pts = jnp.asarray(np.stack([p for p, _ in padded]))  # (F, N, 3)
+    msk = jnp.asarray(np.stack([m for _, m in padded]))  # (F, N)
+
+    if covariance == "rbf":
+        cov_fn = jax.jit(jax.vmap(lambda p, m: rbf_covariances_jit(p, m)))
+    else:
+        cov_fn = jax.jit(jax.vmap(lambda p, m: knn_covariances_jit(p, m)))
+    covs = []
+    for s in range(0, pts.shape[0], batch_size):
+        covs.append(cov_fn(pts[s : s + batch_size], msk[s : s + batch_size]))
+    covs = jnp.concatenate(covs, axis=0)
+
+    n_pairs = pts.shape[0] - 1
+    deltas = []
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (batch_size, 4, 4))
+    for s in range(0, n_pairs, batch_size):
+        e = min(s + batch_size, n_pairs)
+        sl_src = slice(s + 1, e + 1)  # sources: frames 1..n
+        sl_tgt = slice(s, e)  # targets: frames 0..n-1
+        b = e - s
+        if b < batch_size:  # pad the final batch to the compiled shape
+            pad_idx = jnp.concatenate(
+                [jnp.arange(s, e), jnp.full(batch_size - b, e - 1)]
+            )
+            res = vgicp_align_batch(
+                pts[pad_idx + 1], msk[pad_idx + 1], covs[pad_idx + 1],
+                pts[pad_idx], msk[pad_idx], covs[pad_idx], eye, config,
+            )
+            deltas.append(np.asarray(res.transformation)[:b])
+        else:
+            res = vgicp_align_batch(
+                pts[sl_src], msk[sl_src], covs[sl_src],
+                pts[sl_tgt], msk[sl_tgt], covs[sl_tgt], eye, config,
+            )
+            deltas.append(np.asarray(res.transformation))
+
+    poses = [np.eye(4)]
+    for d in np.concatenate(deltas, axis=0):
+        poses.append(poses[-1] @ np.asarray(d, np.float64))
+    return poses
+
+
 def kitti_scan_paths(directory: str, limit: Optional[int] = None):
     """Sorted %06d.bin scan paths under a KITTI velodyne directory."""
     import glob

@@ -1,0 +1,86 @@
+"""Odometry driver tests on a synthetic trajectory: serial (reference-
+style swap loop) and batched (vmapped pairs) must both recover the path."""
+
+import numpy as np
+import pytest
+
+from fast_gicp_tpu import se3
+from fast_gicp_tpu.models.vgicp import FastVGICP, VGICPConfig
+from fast_gicp_tpu.solver import LsqConfig
+from fast_gicp_tpu.utils.kitti import (
+    ate_rmse,
+    run_odometry,
+    run_odometry_batched,
+    save_poses_kitti,
+)
+
+import jax.numpy as jnp
+
+
+def _world(rng, n=4000):
+    """A structured 3D scene: ground plane + walls + scatter."""
+    ground = np.stack(
+        [rng.uniform(-20, 20, n // 2), rng.uniform(-20, 20, n // 2),
+         0.05 * rng.standard_normal(n // 2)], axis=1)
+    wall = np.stack(
+        [rng.uniform(-20, 20, n // 4), 8.0 + 0.05 * rng.standard_normal(n // 4),
+         rng.uniform(0, 4, n // 4)], axis=1)
+    pillars = np.stack(
+        [np.repeat(rng.uniform(-15, 15, 10), n // 40),
+         np.repeat(rng.uniform(-6, 6, 10), n // 40),
+         rng.uniform(0, 3, (n // 40) * 10)], axis=1)
+    return np.concatenate([ground, wall, pillars]).astype(np.float32)
+
+
+def _trajectory_scans(rng, n_frames=5):
+    """Simulated scans: the world seen from poses moving along x."""
+    world = _world(rng)
+    scans, poses = [], []
+    T = np.eye(4)
+    for i in range(n_frames):
+        poses.append(T.copy())
+        # sensor sees world in its own frame: p_local = T^-1 p_world
+        R, t = T[:3, :3], T[:3, 3]
+        local = (world - t) @ R
+        # simulate sparse view + noise
+        sel = rng.random(len(local)) < 0.7
+        scans.append((local[sel] + 0.01 * rng.standard_normal((sel.sum(), 3))
+                      ).astype(np.float32))
+        step = np.asarray(se3.se3_exp(jnp.asarray(
+            np.float32([0, 0, 0.02, 0.4, 0.05, 0]))))
+        T = T @ step
+    return scans, poses
+
+
+@pytest.fixture(scope="module")
+def synthetic_traj():
+    return _trajectory_scans(np.random.default_rng(3))
+
+
+def test_serial_odometry(synthetic_traj):
+    scans, gt_poses = synthetic_traj
+    reg = FastVGICP(resolution=1.0, neighbor_search_method="direct7")
+    poses = run_odometry(scans, reg, downsample_resolution=0.2)
+    assert len(poses) == len(scans)
+    assert ate_rmse(gt_poses, poses) < 0.05
+
+
+def test_batched_odometry_matches_serial(synthetic_traj):
+    scans, gt_poses = synthetic_traj
+    cfg = VGICPConfig(
+        resolution=1.0, neighbor_search_method="direct7", lsq=LsqConfig()
+    )
+    poses = run_odometry_batched(
+        scans, downsample_resolution=0.2, batch_size=3, config=cfg
+    )
+    assert len(poses) == len(scans)
+    assert ate_rmse(gt_poses, poses) < 0.05
+
+
+def test_save_poses_kitti(tmp_path, synthetic_traj):
+    scans, gt_poses = synthetic_traj
+    path = tmp_path / "traj.txt"
+    save_poses_kitti(str(path), gt_poses)
+    lines = path.read_text().strip().split("\n")
+    assert len(lines) == len(gt_poses)
+    assert len(lines[0].split()) == 12
