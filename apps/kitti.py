@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""KITTI odometry app: frame-by-frame VGICP over a velodyne sequence.
+
+Equivalent of the reference's `gicp_kitti` (src/kitti.cpp:71-156) and
+kitti.py (src/kitti.py): loads %06d.bin scans, downsamples at 0.25 m, runs
+scan-to-scan registration, chains poses, reports FPS, writes the trajectory
+in KITTI 3x4 row-major format.
+
+Two modes:
+  --mode serial   reference-style loop with covariance reuse via swap
+  --mode batched  TPU-throughput mode: vmapped pair batches (default)
+
+Usage: python apps/kitti.py /path/to/sequences/00/velodyne [--limit N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("data_dir", help="directory of KITTI .bin scans")
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--mode", choices=("serial", "batched"),
+                        default="batched")
+    parser.add_argument("--downsample", type=float, default=0.25)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--resolution", type=float, default=1.0)
+    parser.add_argument("--out", default="/tmp/traj.txt")
+    args = parser.parse_args(argv)
+
+    from fast_gicp_tpu.models.vgicp import FastVGICP, VGICPConfig
+    from fast_gicp_tpu.utils.io import load_kitti_bin
+    from fast_gicp_tpu.utils.kitti import (
+        kitti_scan_paths,
+        run_odometry,
+        run_odometry_batched,
+        save_poses_kitti,
+    )
+
+    paths = kitti_scan_paths(args.data_dir, args.limit)
+    if len(paths) < 2:
+        print(f"no scans found under {args.data_dir}", file=sys.stderr)
+        return 1
+    print(f"{len(paths)} scans", flush=True)
+    scans = [load_kitti_bin(p) for p in paths]
+
+    t0 = time.perf_counter()
+    if args.mode == "serial":
+        reg = FastVGICP(resolution=args.resolution)
+
+        def progress(i, pose, fps):
+            if i % 30 == 0:
+                print(f"frame {i}: fps={fps:.1f}", flush=True)
+
+        poses = run_odometry(scans, reg, args.downsample, progress)
+    else:
+        config = VGICPConfig(resolution=args.resolution)
+        poses = run_odometry_batched(
+            scans, args.downsample, batch_size=args.batch, config=config
+        )
+    dt = time.perf_counter() - t0
+    print(f"{len(poses)} poses in {dt:.1f}s = {len(poses) / dt:.1f} FPS "
+          f"(incl. I/O and downsampling)", flush=True)
+    save_poses_kitti(args.out, poses)
+    print(f"trajectory written to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

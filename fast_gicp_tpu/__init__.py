@@ -7,6 +7,23 @@ search and covariance estimation, a sort/segment voxel hash map, and
 shard_map multi-device scaling.  See SURVEY.md for the reference analysis.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: align graphs take 60-120 s to compile on TPU
+# runtimes; caching makes every process after the first start instantly.
+# Opt out with FAST_GICP_TPU_NO_CACHE=1.
+if not _os.environ.get("FAST_GICP_TPU_NO_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/fast_gicp_tpu_jit")
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from . import se3
 from .solver import LsqConfig, LsqResult, lsq_solve
 from .models.base import Registration

@@ -139,10 +139,16 @@ class Registration:
             else jnp.asarray(initial_guess, dtype=jnp.float32)
         )
         result = self._compute(src, tgt, guess)
-        self._final_T = np.asarray(result.transformation, dtype=np.float64)
-        self._final_H = np.asarray(result.hessian, dtype=np.float64)
-        self._converged = bool(result.converged)
-        self._iterations = int(result.iterations)
+        # One device->host transfer for everything (each forced transfer
+        # costs a full runtime round trip).
+        T, H, conv, iters = jax.device_get(
+            (result.transformation, result.hessian, result.converged,
+             result.iterations)
+        )
+        self._final_T = np.asarray(T, dtype=np.float64)
+        self._final_H = np.asarray(H, dtype=np.float64)
+        self._converged = bool(conv)
+        self._iterations = int(iters)
         return self._final_T
 
     def _compute(self, source: Cloud, target: Cloud, guess: jax.Array):
