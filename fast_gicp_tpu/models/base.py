@@ -35,6 +35,7 @@ class Cloud:
     mask: jax.Array  # (M,) bool
     size: int  # true point count
     covs: Optional[jax.Array] = None  # (M, 3, 3) f32
+    host_points: Optional[np.ndarray] = None  # (M, 3) f32 (native paths)
 
 
 @dataclass
@@ -64,7 +65,10 @@ class Registration:
     def _ingest(self, points: np.ndarray) -> Cloud:
         padded, mask = pad_points(np.asarray(points), self.bucket)
         return Cloud(
-            points=jnp.asarray(padded), mask=jnp.asarray(mask), size=int(mask.sum())
+            points=jnp.asarray(padded),
+            mask=jnp.asarray(mask),
+            size=int(mask.sum()),
+            host_points=padded,
         )
 
     def set_input_source(self, points: np.ndarray) -> None:

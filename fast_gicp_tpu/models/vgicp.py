@@ -30,7 +30,11 @@ import jax.numpy as jnp
 
 from .. import se3
 from ..ops import linalg3
-from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
+from ..ops.covariance import (
+    covariances_from_neighbors_jit,
+    knn_covariances_jit,
+    rbf_covariances_jit,
+)
 from ..ops.reduction import error_reduce, linearize_reduce
 from ..ops.voxelmap import (
     build_voxelmap,
@@ -185,8 +189,13 @@ class FastVGICP(Registration):
         del n
 
     def set_nearest_neighbor_method(self, method: str) -> None:
-        if method not in ("knn", "rbf"):
-            raise ValueError("covariance estimation must be 'knn' or 'rbf'")
+        # "knn" = GPU_BRUTEFORCE equivalent (on-device brute force),
+        # "rbf" = GPU_RBF_KERNEL, "kdtree" = CPU_PARALLEL_KDTREE (native
+        # host kd-tree feeding device covariance) — fast_vgicp_cuda.hpp:21.
+        if method not in ("knn", "rbf", "kdtree"):
+            raise ValueError(
+                "covariance estimation must be 'knn', 'rbf', or 'kdtree'"
+            )
         self.covariance_estimation = method
 
     def set_kernel_params(self, width: float, max_dist: float = None) -> None:
@@ -199,7 +208,21 @@ class FastVGICP(Registration):
     def _ensure_covariances(self, cloud: Cloud) -> None:
         if cloud.covs is not None:
             return
-        if self.covariance_estimation == "rbf":
+        if self.covariance_estimation == "kdtree":
+            from .. import native
+
+            # Tree over the real points only (padding sits at the origin and
+            # must not pollute neighborhoods); padded queries yield garbage
+            # covariances that downstream masks drop.
+            idx, _ = native.knn_search(
+                cloud.host_points[: cloud.size],
+                cloud.host_points,
+                self.k_correspondences,
+            )
+            cloud.covs = covariances_from_neighbors_jit(
+                cloud.points, jnp.asarray(idx), method=self.regularization
+            )
+        elif self.covariance_estimation == "rbf":
             cloud.covs = rbf_covariances_jit(
                 cloud.points,
                 cloud.mask,

@@ -1,0 +1,135 @@
+"""ctypes bindings for the native host runtime (libfast_gicp_native.so).
+
+Provides the multithreaded kd-tree kNN (the reference's CPU_PARALLEL_KDTREE
+covariance feeder, fast_vgicp_cuda_impl.hpp:152-167), a C++ voxel-grid
+downsampler, and a fast KITTI .bin loader.  Every entry point has a pure
+numpy/JAX fallback so the package works without the native build; call
+`available()` to check, `build()` to compile in-tree (needs cmake + a C++
+toolchain).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATHS = [
+    os.path.join(_NATIVE_DIR, "build", "libfast_gicp_native.so"),
+    os.path.join(os.path.dirname(__file__), "libfast_gicp_native.so"),
+]
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    for path in _LIB_PATHS:
+        if os.path.exists(path):
+            lib = ctypes.CDLL(path)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            i32p = ctypes.POINTER(ctypes.c_int)
+            lib.knn_search.argtypes = [
+                f32p, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, i32p, f32p,
+            ]
+            lib.kdtree_build.restype = ctypes.c_void_p
+            lib.kdtree_build.argtypes = [f32p, ctypes.c_int]
+            lib.kdtree_free.argtypes = [ctypes.c_void_p]
+            lib.kdtree_knn.argtypes = [
+                ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, i32p, f32p,
+            ]
+            lib.voxel_downsample.restype = ctypes.c_int
+            lib.voxel_downsample.argtypes = [f32p, ctypes.c_int,
+                                             ctypes.c_float, f32p]
+            lib.load_kitti_bin.restype = ctypes.c_int
+            lib.load_kitti_bin.argtypes = [ctypes.c_char_p, f32p, ctypes.c_int]
+            _lib = lib
+            return lib
+    return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build(verbose: bool = False) -> bool:
+    """Compile the native library in-tree via cmake."""
+    build_dir = os.path.join(_NATIVE_DIR, "build")
+    try:
+        kw = {} if verbose else {"capture_output": True}
+        subprocess.run(["cmake", "-S", _NATIVE_DIR, "-B", build_dir],
+                       check=True, **kw)
+        subprocess.run(["cmake", "--build", build_dir, "-j"], check=True, **kw)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    global _lib
+    _lib = None
+    return available()
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def knn_search(points: np.ndarray, queries: np.ndarray, k: int,
+               n_threads: int = 0):
+    """Exact kd-tree kNN on the host; returns (idx (Q, k), sq_dist (Q, k))."""
+    lib = _load()
+    points = np.ascontiguousarray(points[:, :3], np.float32)
+    queries = np.ascontiguousarray(queries[:, :3], np.float32)
+    nq = queries.shape[0]
+    idx = np.empty((nq, k), np.int32)
+    dist = np.empty((nq, k), np.float32)
+    if lib is None:
+        # numpy fallback (exact, O(N*Q))
+        d = (
+            np.einsum("ij,ij->i", queries, queries)[:, None]
+            - 2.0 * queries @ points.T
+            + np.einsum("ij,ij->i", points, points)[None, :]
+        )
+        idx[:] = np.argsort(d, axis=1)[:, :k]
+        dist[:] = np.maximum(np.take_along_axis(d, idx, axis=1), 0.0)
+        return idx, dist
+    lib.knn_search(_f32p(points), points.shape[0], _f32p(queries), nq, k,
+                   n_threads, _i32p(idx), _f32p(dist))
+    return idx, dist
+
+
+def voxel_downsample(points: np.ndarray, resolution: float) -> np.ndarray:
+    """C++ centroid voxel-grid downsample; numpy fallback otherwise."""
+    lib = _load()
+    if lib is None or resolution is None or resolution <= 0:
+        from .utils.downsample import voxel_downsample as np_ds
+
+        return np_ds(points, resolution)
+    pts = np.ascontiguousarray(points[:, :3], np.float32)
+    out = np.empty_like(pts)
+    m = lib.voxel_downsample(_f32p(pts), pts.shape[0],
+                             ctypes.c_float(resolution), _f32p(out))
+    return np.ascontiguousarray(out[:m])
+
+
+def load_kitti_bin(path: str) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from .utils.io import load_kitti_bin as np_load
+
+        return np_load(path)
+    n = lib.load_kitti_bin(path.encode(), None, 0)
+    if n < 0:
+        raise FileNotFoundError(path)
+    out = np.empty((n, 3), np.float32)
+    lib.load_kitti_bin(path.encode(), _f32p(out), n)
+    return out

@@ -143,6 +143,20 @@ def rbf_covariances(
     return regularize_covariances(cov, method)
 
 
+@f32_matmuls
+def covariances_from_neighbors(points, neighbor_idx, method: str = "plane"):
+    """Covariances from externally supplied kNN indices (N, k) — the device
+    half of the reference's CPU_PARALLEL_KDTREE path: host kd-tree feeds a
+    flat neighbor array, device does moments + regularization
+    (fast_vgicp_cuda_impl.hpp:152-167 + covariance_estimation.cu:16-51)."""
+    k = neighbor_idx.shape[1]
+    nbrs = points[neighbor_idx]
+    mean = jnp.mean(nbrs, axis=1)
+    centered = nbrs - mean[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    return regularize_covariances(cov, method)
+
+
 # Pre-jitted entry points for the class API: covariance estimation is called
 # from host code per cloud; without jit every op dispatches eagerly through
 # the runtime (observed ~100x slowdown on the TPU tunnel).
@@ -151,4 +165,7 @@ knn_covariances_jit = jax.jit(
 )
 rbf_covariances_jit = jax.jit(
     rbf_covariances, static_argnames=("method", "chunk_size")
+)
+covariances_from_neighbors_jit = jax.jit(
+    covariances_from_neighbors, static_argnames=("method",)
 )
