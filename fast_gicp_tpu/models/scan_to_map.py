@@ -1,0 +1,320 @@
+"""Scan-to-map odometry: persistent world voxel map, incrementally updated.
+
+The reference is scan-to-scan only — its target voxel map is rebuilt from
+the latest scan every align (fast_vgicp_impl.hpp:66-70); drift accumulates
+with nothing to anchor to.  This module is the north-star capability the
+reference lacks (SURVEY.md §5 "long-context"): a fixed-capacity world-frame
+Gaussian voxel map that persists across frames, accumulates additive voxel
+statistics from every registered scan, and serves as the registration target
+for each new scan.
+
+Everything is fixed-shape and jittable:
+  * `MapState` — raw additive sums [n | sum mu | sum C] per voxel (finalized
+    lazily at lookup), integer coords, and the open-addressing lut.
+  * `update_map` — segment-reduce the new scan to per-voxel contributions,
+    scatter-add into existing voxels, claim lut slots for new ones with the
+    same vectorized scatter-min insert as the static builder.
+  * `align_to_map` — VGICP objective against the live map (weight sqrt(n),
+    frozen Mahalanobis per linearization), LM solve on device.
+
+Multi-host design (round 2+): shard `MapState` rows by coord-block hash
+across devices, lookup via all_gather of the query block's shard, psum the
+normal equations — per-iteration traffic stays (6x6 + 6 + 1) floats.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import se3
+from ..ops import linalg3
+from ..ops.voxelmap import (
+    _COORD_SENTINEL,
+    _EMPTY,
+    MAX_PROBE,
+    VoxelMap,
+    _hash_coords,
+    neighbor_offsets,
+    next_pow2,
+    voxel_coord,
+)
+from ..precision import f32_matmuls
+from ..solver import LsqConfig, LsqResult, lsq_solve
+from ..ops.reduction import error_reduce, linearize_reduce
+
+
+class MapState(NamedTuple):
+    sums: jax.Array  # (C, 13) f32: [count, sum mean (3), sum cov (9)]
+    coords: jax.Array  # (C, 3) int32 voxel coords (world frame)
+    lut: jax.Array  # (T, 4) int32 [vid, cx, cy, cz]
+    num_voxels: jax.Array  # () int32
+    resolution: jax.Array  # () f32
+
+
+def empty_map(capacity: int, resolution: float, table_factor: int = 4) -> MapState:
+    table_size = next_pow2(table_factor * capacity)
+    lut = jnp.concatenate(
+        [
+            jnp.full((table_size, 1), _EMPTY, jnp.int32),
+            jnp.full((table_size, 3), _COORD_SENTINEL, jnp.int32),
+        ],
+        axis=1,
+    )
+    return MapState(
+        sums=jnp.zeros((capacity, 13), jnp.float32),
+        coords=jnp.zeros((capacity, 3), jnp.int32),
+        lut=lut,
+        num_voxels=jnp.int32(0),
+        resolution=jnp.asarray(resolution, jnp.float32),
+    )
+
+
+def _lookup(lut, coords):
+    """coords (..., 3) -> voxel id or -1 (probe the lut rows)."""
+    table_size = lut.shape[0]
+    mask_t = jnp.uint32(table_size - 1)
+    slot0 = (_hash_coords(coords) & mask_t).astype(jnp.int32)
+    found = jnp.sum(coords, axis=-1) * 0 - 1
+
+    def body(p, found):
+        slot = (slot0 + p) & jnp.int32(table_size - 1)
+        row = lut[slot]
+        match = jnp.all(row[..., 1:4] == coords, axis=-1)
+        return jnp.where((found < 0) & match, row[..., 0], found)
+
+    return jax.lax.fori_loop(0, MAX_PROBE, body, found)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+@f32_matmuls
+def update_map(state: MapState, points_world, covs_world, mask) -> MapState:
+    """Fuse a registered scan (world frame) into the map.
+
+    Additive accumulation like AdditiveGaussianVoxel (fast_vgicp_voxel.hpp:
+    105-122), but persistent: existing voxels keep their history.  New
+    voxels beyond capacity are dropped (the map is a ring of capacity C;
+    eviction policies can replace this in later rounds).
+    """
+    capacity = state.sums.shape[0]
+    table_size = state.lut.shape[0]
+    n = points_world.shape[0]
+
+    coords = voxel_coord(points_world, state.resolution)
+    coords = jnp.where(mask[:, None], coords, _COORD_SENTINEL)
+
+    # Segment the scan by voxel (sort + boundaries), as in build_voxelmap.
+    point_idx = jnp.arange(n, dtype=jnp.int32)
+    cx, cy, cz, order = jax.lax.sort(
+        (coords[:, 0], coords[:, 1], coords[:, 2], point_idx), num_keys=3
+    )
+    valid_sorted = cx < _COORD_SENTINEL
+    first = jnp.zeros(n, dtype=bool).at[0].set(True)
+    changed = (
+        (cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1)) | (cz != jnp.roll(cz, 1))
+    )
+    new_seg = (first | changed) & valid_sorted
+    seg_sorted = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    n_segs = jnp.sum(new_seg.astype(jnp.int32))
+    seg_sorted = jnp.where(valid_sorted, jnp.minimum(seg_sorted, n - 1), n)
+    seg = jnp.zeros(n, dtype=jnp.int32).at[order].set(seg_sorted)
+
+    contrib = jnp.concatenate(
+        [
+            jnp.ones((n, 1), jnp.float32),
+            points_world,
+            covs_world.reshape(n, 9),
+        ],
+        axis=1,
+    ) * mask[:, None]
+    seg_sums = jnp.zeros((n + 1, 13), jnp.float32).at[seg].add(contrib)[:n]
+    seg_coords = (
+        jnp.full((n + 1, 3), _COORD_SENTINEL, jnp.int32)
+        .at[jnp.where(new_seg, seg_sorted, n)]
+        .set(jnp.stack([cx, cy, cz], axis=-1))
+    )[:n]
+    seg_valid = jnp.arange(n) < n_segs
+
+    # Match scan voxels against the existing map.
+    vids = _lookup(state.lut, seg_coords)
+    exists = seg_valid & (vids >= 0)
+
+    # New voxels get ids num_voxels, num_voxels+1, ... (capacity-bounded).
+    is_new = seg_valid & (vids < 0)
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    new_vid = state.num_voxels + new_rank
+    in_cap = is_new & (new_vid < capacity)
+    target_vid = jnp.where(exists, vids, jnp.where(in_cap, new_vid, capacity))
+
+    sums = (
+        jnp.concatenate([state.sums, jnp.zeros((1, 13), jnp.float32)])
+        .at[target_vid]
+        .add(seg_sums * (exists | in_cap)[:, None])
+    )[:capacity]
+    coords_out = (
+        jnp.concatenate([state.coords, jnp.zeros((1, 3), jnp.int32)])
+        .at[jnp.where(in_cap, new_vid, capacity)]
+        .set(seg_coords)
+    )[:capacity]
+    num_voxels = jnp.minimum(
+        state.num_voxels + jnp.sum(in_cap.astype(jnp.int32)), capacity
+    )
+
+    # Insert the new voxels into the lut (vectorized linear-probe claiming;
+    # occupied slots are final, matching ops.voxelmap._build_table).
+    mask_t = jnp.uint32(table_size - 1)
+    slot = (_hash_coords(seg_coords) & mask_t).astype(jnp.int32)
+    pending = in_cap
+    lut = state.lut
+
+    def body(_, s):
+        lut, slot, pending = s
+        occupied = lut[slot, 0] != _EMPTY
+        attempt = pending & ~occupied
+        try_slot = jnp.where(attempt, slot, table_size)
+        lut_ext = jnp.concatenate(
+            [lut, jnp.full((1, 4), _EMPTY, jnp.int32)], axis=0
+        )
+        # claim by scatter-min on the vid column
+        lut_ext = lut_ext.at[try_slot, 0].min(jnp.where(attempt, new_vid, _EMPTY))
+        claimed = attempt & (lut_ext[slot, 0] == new_vid)
+        lut_ext = lut_ext.at[jnp.where(claimed, slot, table_size), 1:4].set(
+            seg_coords
+        )
+        lut = lut_ext[:table_size]
+        pending = pending & ~claimed
+        slot = jnp.where(pending, (slot + 1) & jnp.int32(table_size - 1), slot)
+        return lut, slot, pending
+
+    lut, _, _ = jax.lax.fori_loop(0, MAX_PROBE, body, (lut, slot, pending))
+
+    return MapState(
+        sums=sums,
+        coords=coords_out,
+        lut=lut,
+        num_voxels=num_voxels,
+        resolution=state.resolution,
+    )
+
+
+def map_as_voxelmap(state: MapState) -> VoxelMap:
+    """Finalize the additive sums into a VoxelMap view for registration."""
+    capacity = state.sums.shape[0]
+    counts_f = state.sums[:, 0]
+    n_f = jnp.maximum(counts_f, 1.0)[:, None]
+    means = state.sums[:, 1:4] / n_f
+    covs = state.sums[:, 4:13] / n_f
+    packed = jnp.concatenate(
+        [means, covs, counts_f[:, None], jnp.zeros((capacity, 3), jnp.float32)],
+        axis=1,
+    )
+    return VoxelMap(
+        means=means,
+        covs=covs.reshape(capacity, 3, 3),
+        counts=counts_f.astype(jnp.int32),
+        coords=state.coords,
+        table=state.lut[:, 0],
+        num_voxels=state.num_voxels,
+        resolution=state.resolution,
+        packed=packed,
+        lut=state.lut,
+    )
+
+
+class ScanToMapConfig(NamedTuple):
+    resolution: float = 1.0
+    capacity: int = 1 << 17  # persistent map voxels
+    neighbor_search_method: str = "direct7"
+    neighbor_search_radius: float = 1.5
+    lsq: LsqConfig = LsqConfig()
+
+
+@partial(jax.jit, static_argnames=("config",))
+@f32_matmuls
+def align_to_map(
+    state: MapState, source, source_mask, source_covs, guess,
+    config: ScanToMapConfig,
+) -> LsqResult:
+    """Register a scan (sensor frame) against the persistent map.
+
+    Same objective as VGICP (sqrt(n) weights, Mahalanobis frozen per
+    linearization) with the map as the target Gaussian field.
+    """
+    vmap_ = map_as_voxelmap(state)
+    offsets = jnp.asarray(
+        neighbor_offsets(config.neighbor_search_method, config.neighbor_search_radius)
+    )
+    from .vgicp import VGICPConfig, make_vgicp_objective
+
+    vcfg = VGICPConfig(
+        resolution=config.resolution,
+        neighbor_search_method=config.neighbor_search_method,
+        neighbor_search_radius=config.neighbor_search_radius,
+        lsq=config.lsq,
+    )
+    lin, err = make_vgicp_objective(
+        source, source_mask, source_covs, vmap_, offsets, vcfg
+    )
+    return lsq_solve(lin, err, guess.astype(source.dtype), config.lsq)
+
+
+class ScanToMapOdometry:
+    """Host-side odometry driver over the persistent map.
+
+    Per frame: constant-velocity guess -> align_to_map -> fuse the scan into
+    the map at the estimated pose.  The first frame initializes the map.
+    """
+
+    def __init__(self, config: ScanToMapConfig = ScanToMapConfig(),
+                 covariance: str = "rbf"):
+        import numpy as np
+
+        self.config = config
+        self.covariance = covariance
+        self.state = empty_map(config.capacity, config.resolution)
+        self.poses = []
+        self._last_delta = np.eye(4, dtype=np.float64)
+
+    def _covs(self, points, mask):
+        from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
+
+        if self.covariance == "rbf":
+            return rbf_covariances_jit(points, mask)
+        return knn_covariances_jit(points, mask)
+
+    def process(self, scan) -> "np.ndarray":
+        """Feed one (N, 3) scan; returns the estimated world pose (4x4)."""
+        import numpy as np
+
+        from ..utils.padding import pad_points
+
+        padded, mask_np = pad_points(np.asarray(scan))
+        pts = jnp.asarray(padded)
+        mask = jnp.asarray(mask_np)
+        covs = self._covs(pts, mask)
+
+        if not self.poses:
+            pose = np.eye(4, dtype=np.float64)
+        else:
+            guess = jnp.asarray(
+                (self.poses[-1] @ self._last_delta).astype(np.float32)
+            )
+            result = align_to_map(
+                self.state, pts, mask, covs, guess, self.config
+            )
+            pose = np.asarray(result.transformation, dtype=np.float64)
+            self._last_delta = np.linalg.inv(self.poses[-1]) @ pose
+
+        T = jnp.asarray(pose.astype(np.float32))
+        R = T[:3, :3]
+        world_pts = se3.transform_points(T, pts)
+        world_covs = jnp.einsum(
+            "ij,njk,lk->nil", R, covs, R,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        self.state = update_map(self.state, world_pts, world_covs, mask)
+        self.poses.append(pose)
+        return pose

@@ -1,0 +1,80 @@
+"""Scan-to-map odometry tests: persistent map accumulation + trajectory."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fast_gicp_tpu.models.scan_to_map import (
+    MapState,
+    ScanToMapConfig,
+    ScanToMapOdometry,
+    empty_map,
+    map_as_voxelmap,
+    update_map,
+)
+from fast_gicp_tpu.ops.voxelmap import lookup_voxels, voxel_coord
+from fast_gicp_tpu.solver import LsqConfig
+from fast_gicp_tpu.utils.kitti import ate_rmse
+from tests.test_odometry import _trajectory_scans
+
+
+def _identity_covs(n):
+    return jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 0.01, (n, 3, 3))
+
+
+def test_update_map_accumulates(rng):
+    state = empty_map(1024, 1.0)
+    pts = jnp.asarray((rng.random((256, 3)) * 10).astype(np.float32))
+    mask = jnp.ones(256, bool)
+    covs = _identity_covs(256)
+    state = update_map(state, pts, covs, mask)
+    nv1 = int(state.num_voxels)
+    assert nv1 > 0
+    total1 = float(state.sums[:, 0].sum())
+    assert total1 == 256.0
+
+    # same points again: voxel count unchanged, point count doubles
+    state = update_map(state, pts, covs, mask)
+    assert int(state.num_voxels) == nv1
+    assert float(state.sums[:, 0].sum()) == 512.0
+
+    # new distant points create new voxels
+    far = pts + 100.0
+    state = update_map(state, far, covs, mask)
+    assert int(state.num_voxels) == 2 * nv1
+    assert float(state.sums[:, 0].sum()) == 768.0
+
+
+def test_map_lookup_after_update(rng):
+    state = empty_map(512, 1.0)
+    pts = jnp.asarray((rng.random((128, 3)) * 8).astype(np.float32))
+    mask = jnp.ones(128, bool)
+    state = update_map(state, pts, _identity_covs(128), mask)
+    vm = map_as_voxelmap(state)
+    coords = voxel_coord(pts, 1.0)
+    vids = np.asarray(lookup_voxels(vm, coords))
+    assert np.all(vids >= 0), "every inserted point's voxel must be findable"
+    # means of single-point voxels equal the point
+    counts = np.asarray(vm.counts)
+    means = np.asarray(vm.means)
+    for i in range(len(pts)):
+        v = vids[i]
+        if counts[v] == 1:
+            np.testing.assert_allclose(means[v], np.asarray(pts)[i], atol=1e-5)
+
+
+def test_scan_to_map_odometry_trajectory():
+    scans, gt_poses = _trajectory_scans(np.random.default_rng(5), n_frames=6)
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+
+    odo = ScanToMapOdometry(
+        ScanToMapConfig(
+            resolution=1.0,
+            capacity=1 << 14,
+            lsq=LsqConfig(),
+        )
+    )
+    for scan in scans:
+        odo.process(voxel_downsample(scan, 0.2))
+    assert len(odo.poses) == len(scans)
+    err = ate_rmse(gt_poses, odo.poses)
+    assert err < 0.05, f"scan-to-map ATE {err:.4f}"
