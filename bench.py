@@ -45,7 +45,9 @@ def main() -> None:
     sp, sm = map(jnp.asarray, pad_points(source))
     tp, tm = map(jnp.asarray, pad_points(target))
     guess = jnp.eye(4, dtype=jnp.float32)
-    config = VGICPConfig()
+    from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+
+    config = VGICPConfig(grid_dims=auto_grid_dims(target, 1.0))
 
     def one_registration():
         scovs = rbf_covariances_jit(sp, sm)

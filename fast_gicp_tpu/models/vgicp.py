@@ -37,6 +37,7 @@ from ..ops.covariance import (
 )
 from ..ops.reduction import error_reduce, linearize_reduce
 from ..ops.voxelmap import (
+    auto_grid_dims,
     build_voxelmap,
     gather_voxel_stats,
     lookup_voxels,
@@ -50,7 +51,12 @@ from .gicp import GICPConfig
 
 
 class VGICPConfig(NamedTuple):
-    """Defaults match fast_vgicp_impl.hpp:22-24."""
+    """Defaults match fast_vgicp_impl.hpp:22-24.
+
+    grid_dims: static (Dx, Dy, Dz) -> dense-grid voxel lookup (single
+    gather, fastest); None -> open-addressing hash (unbounded scenes).
+    The class API auto-sizes the grid from the target cloud's extent.
+    """
 
     resolution: float = 1.0
     neighbor_search_method: str = "direct1"
@@ -58,6 +64,7 @@ class VGICPConfig(NamedTuple):
     voxel_accumulation: str = "additive"
     k_correspondences: int = 20
     regularization: str = "plane"
+    grid_dims: tuple | None = None
     lsq: LsqConfig = LsqConfig()
 
 
@@ -139,6 +146,7 @@ def vgicp_align(
         config.resolution,
         covs=target_covs,
         mode=config.voxel_accumulation,
+        grid_dims=config.grid_dims,
     )
     offsets = jnp.asarray(
         neighbor_offsets(
@@ -167,6 +175,9 @@ class FastVGICP(Registration):
     covariance_estimation: str = "knn"  # "knn" | "rbf"
     kernel_width: float = 0.5
     kernel_max_dist: float = 3.0
+    # "auto": dense grid sized from the target extent (fastest); None: hash
+    # map (unbounded scenes); or explicit static (Dx, Dy, Dz).
+    grid_dims: object = "auto"
 
     def set_resolution(self, r: float) -> None:
         self.resolution = float(r)
@@ -238,7 +249,17 @@ class FastVGICP(Registration):
                 method=self.regularization,
             )
 
-    def _config(self) -> VGICPConfig:
+    def set_grid_dims(self, dims) -> None:
+        self.grid_dims = tuple(dims) if dims not in (None, "auto") else dims
+
+    def _grid_dims(self, target: Cloud):
+        if self.grid_dims == "auto":
+            return auto_grid_dims(
+                target.host_points[: target.size], self.resolution
+            )
+        return self.grid_dims
+
+    def _config(self, grid_dims=None) -> VGICPConfig:
         return VGICPConfig(
             resolution=self.resolution,
             neighbor_search_method=self.neighbor_search_method,
@@ -246,6 +267,7 @@ class FastVGICP(Registration):
             voxel_accumulation=self.voxel_accumulation,
             k_correspondences=self.k_correspondences,
             regularization=self.regularization,
+            grid_dims=grid_dims,
             lsq=self._lsq_config(),
         )
 
@@ -260,7 +282,7 @@ class FastVGICP(Registration):
             target.mask,
             target.covs,
             guess,
-            self._config(),
+            self._config(grid_dims=self._grid_dims(target)),
         )
 
 

@@ -46,6 +46,10 @@ def nn_search(query, target, target_mask, chunk_size: int = 2048):
     query (fast_gicp_impl.hpp:136-139).
     """
     nq = query.shape[0]
+    from . import pallas_kernels  # function-level: pallas_kernels imports us
+
+    if pallas_kernels.supported(nq, target.shape[0]):
+        return pallas_kernels.nn_search_pallas(query, target, target_mask)
     chunk_size = min(chunk_size, nq)
     tgt = _masked_target(target, target_mask)
     t_sq = jnp.sum(tgt * tgt, axis=-1)

@@ -81,6 +81,30 @@ class VoxelMap(NamedTuple):
     lut: jax.Array  # (T, 4) int32 [voxel index, cx, cy, cz]
 
 
+class GridVoxelMap(NamedTuple):
+    """Gaussian voxel map with a dense 3-D index grid instead of a hash
+    table: lookup is ONE gather (vs `MAX_PROBE` verified hash probes) and
+    the build skips the scatter-min claiming rounds entirely.
+
+    The grid covers `grid.shape` voxels starting at the dynamic `origin`
+    (the min voxel coordinate of the cloud); voxels outside are dropped at
+    build and miss at lookup.  Pick dims from the expected scene extent /
+    resolution — e.g. (192, 192, 96) covers a 192 m x 192 m x 96 m LiDAR
+    scene at 1 m resolution for 14 MB of HBM.  For unbounded maps use the
+    hash-table `VoxelMap`.
+    """
+
+    means: jax.Array  # (C, 3) finalized voxel means
+    covs: jax.Array  # (C, 3, 3) finalized voxel covariances
+    counts: jax.Array  # (C,) int32 points per voxel
+    coords: jax.Array  # (C, 3) int32 voxel integer coords
+    num_voxels: jax.Array  # () int32
+    resolution: jax.Array  # () f32
+    packed: jax.Array  # (C, 16) f32 [mean(3), cov(9), count, pad(3)]
+    grid: jax.Array  # (Dx, Dy, Dz) int32 -> voxel index or -1
+    origin: jax.Array  # (3,) int32 voxel coord of grid[0, 0, 0]
+
+
 def next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -97,6 +121,7 @@ def build_voxelmap(
     capacity: int | None = None,
     table_factor: int = 8,
     max_probe: int = MAX_PROBE,
+    grid_dims: tuple | None = None,
 ) -> VoxelMap:
     """Build a Gaussian voxel map from (N, 3) points (+ per-point covs).
 
@@ -108,6 +133,9 @@ def build_voxelmap(
       * "raw": NDT-style — mean = E[x], cov = E[x x^T] - mu mu^T from raw
         points, no per-point covs needed (gaussian_voxelmap.cu
         ndt_finalize_voxels_kernel).
+
+    grid_dims: static (Dx, Dy, Dz) -> return a dense-grid `GridVoxelMap`
+    (single-gather lookup) instead of the hash-table `VoxelMap`.
     """
     if mode not in ACCUMULATION_MODES:
         raise ValueError(f"unknown accumulation mode: {mode}")
@@ -185,8 +213,6 @@ def build_voxelmap(
         .set(jnp.stack([cx, cy, cz], axis=-1))
     )[:capacity]
 
-    table = _build_table(vcoords, num_voxels, capacity, table_size, max_probe)
-
     packed = jnp.concatenate(
         [
             means,
@@ -196,6 +222,35 @@ def build_voxelmap(
         ],
         axis=1,
     )
+
+    if grid_dims is not None:
+        gx, gy, gz = grid_dims
+        vids = jnp.arange(capacity, dtype=jnp.int32)
+        live = vids < num_voxels
+        origin = jnp.min(
+            jnp.where(live[:, None], vcoords, _COORD_SENTINEL), axis=0
+        )
+        rel = vcoords - origin
+        dims = jnp.asarray([gx, gy, gz], jnp.int32)
+        inside = live & jnp.all((rel >= 0) & (rel < dims), axis=-1)
+        flat = (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2]
+        flat = jnp.where(inside, flat, gx * gy * gz)  # park outside voxels
+        grid = (
+            jnp.full(gx * gy * gz + 1, -1, jnp.int32).at[flat].set(vids)
+        )[:-1].reshape(gx, gy, gz)
+        return GridVoxelMap(
+            means=means,
+            covs=covs_out,
+            counts=counts,
+            coords=vcoords,
+            num_voxels=num_voxels,
+            resolution=jnp.asarray(resolution, dtype),
+            packed=packed,
+            grid=grid,
+            origin=origin,
+        )
+
+    table = _build_table(vcoords, num_voxels, capacity, table_size, max_probe)
     safe_t = jnp.maximum(table, 0) * (table != _EMPTY)
     lut_coords = jnp.where(
         (table != _EMPTY)[:, None], vcoords[safe_t], _COORD_SENTINEL
@@ -255,13 +310,22 @@ def _build_table(vcoords, num_voxels, capacity, table_size, max_probe):
     return table
 
 
-def lookup_voxels(vmap: VoxelMap, query_coords, max_probe: int = MAX_PROBE):
+def lookup_voxels(vmap, query_coords, max_probe: int = MAX_PROBE):
     """Map integer coords (..., 3) -> voxel index, or -1 if absent.
 
-    Pure gather probe with exact coordinate verification (one 4-int row
-    gather per probe via the lut); equivalent of `lookup_voxel`
+    GridVoxelMap: a single bounds-checked gather from the dense grid.
+    VoxelMap: gather probes with exact coordinate verification (one 4-int
+    row gather per probe via the lut); equivalent of `lookup_voxel`
     (fast_vgicp_voxel.hpp:167-174 / find_voxel_correspondences.cu:34-50).
     """
+    if isinstance(vmap, GridVoxelMap):
+        gx, gy, gz = vmap.grid.shape
+        rel = query_coords - vmap.origin
+        dims = jnp.asarray([gx, gy, gz], jnp.int32)
+        inside = jnp.all((rel >= 0) & (rel < dims), axis=-1)
+        flat = (rel[..., 0] * gy + rel[..., 1]) * gz + rel[..., 2]
+        vid = vmap.grid.reshape(-1)[jnp.where(inside, flat, 0)]
+        return jnp.where(inside, vid, -1)
     table_size = vmap.table.shape[0]
     mask_t = jnp.uint32(table_size - 1)
     slot0 = (_hash_coords(query_coords) & mask_t).astype(jnp.int32)
@@ -285,6 +349,33 @@ def gather_voxel_stats(vmap: VoxelMap, vids):
     covs = rows[..., 3:12].reshape(rows.shape[:-1] + (3, 3))
     counts = rows[..., 12]
     return means, covs, counts
+
+
+def auto_grid_dims(
+    points,
+    resolution: float,
+    margin: int = 2,
+    bucket: int = 32,
+    max_cells: int = 64_000_000,
+):
+    """Static dense-grid dims for a host-side cloud, or None if the scene is
+    too large for a dense grid (fall back to the hash map).
+
+    Dims are rounded up to `bucket` multiples so odometry loops with slowly
+    varying extent hit the jit cache instead of recompiling per frame.
+    """
+    import numpy as np
+
+    pts = np.asarray(points)
+    if pts.size == 0:
+        return None
+    lo = np.floor(pts.min(axis=0) / resolution - 0.5)
+    hi = np.floor(pts.max(axis=0) / resolution - 0.5)
+    span = (hi - lo + 1 + 2 * margin).astype(np.int64)
+    dims = (np.ceil(span / bucket) * bucket).astype(np.int64)
+    if int(dims.prod()) > max_cells:
+        return None
+    return (int(dims[0]), int(dims[1]), int(dims[2]))
 
 
 def neighbor_offsets(method: str, radius: float = 1.5):

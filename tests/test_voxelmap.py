@@ -125,3 +125,77 @@ def test_masked_points_excluded(rng):
     vm = build_voxelmap(p, m, 1.0, covs=covs, mode="additive")
     assert int(vm.num_voxels) == len(_ref_voxels(pts, 1.0))
     assert int(np.asarray(vm.counts).sum()) == 100
+
+
+def test_grid_voxelmap_matches_hash(rng):
+    """Dense-grid map: identical stats and lookup results to the hash map."""
+    pts, p, m = _cloud(rng)
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (p.shape[0], 3, 3))
+    hm = build_voxelmap(p, m, 1.0, covs=covs)
+    gm = build_voxelmap(p, m, 1.0, covs=covs, grid_dims=(32, 32, 32))
+    assert int(gm.num_voxels) == int(hm.num_voxels)
+    np.testing.assert_allclose(
+        np.asarray(gm.means[: int(gm.num_voxels)]),
+        np.asarray(hm.means[: int(hm.num_voxels)]),
+        rtol=1e-6,
+    )
+    # Every real voxel coordinate resolves to itself; absent coords miss.
+    nv = int(gm.num_voxels)
+    got = np.asarray(lookup_voxels(gm, gm.coords[:nv]))
+    np.testing.assert_array_equal(got, np.arange(nv))
+    miss = lookup_voxels(gm, jnp.asarray([[500, 500, 500], [-40, 0, 0]]))
+    np.testing.assert_array_equal(np.asarray(miss), [-1, -1])
+
+
+def test_grid_voxelmap_out_of_bounds_dropped(rng):
+    """Voxels outside the static grid are dropped, not aliased."""
+    pts = np.asarray([[0.6, 0.6, 0.6], [100.0, 100.0, 100.0]], np.float32)
+    p = jnp.asarray(pts)
+    m = jnp.ones(2, bool)
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (2, 3, 3))
+    gm = build_voxelmap(p, m, 1.0, covs=covs, grid_dims=(8, 8, 8))
+    # both voxels exist as stats rows, but only the in-grid one resolves
+    assert int(gm.num_voxels) == 2
+    vids = np.asarray(lookup_voxels(gm, voxel_coord(p, 1.0)))
+    assert vids[0] >= 0 and vids[1] == -1
+
+
+def test_auto_grid_dims(rng):
+    from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+
+    pts = (rng.uniform(size=(100, 3)) * 50 - 25).astype(np.float32)
+    dims = auto_grid_dims(pts, 1.0)
+    assert dims is not None and all(d % 32 == 0 for d in dims)
+    coords = np.floor(pts / 1.0 - 0.5)
+    span = coords.max(axis=0) - coords.min(axis=0) + 1
+    assert all(d >= s for d, s in zip(dims, span))
+    assert auto_grid_dims(pts, 0.001) is None  # too many cells -> hash
+
+
+def test_vgicp_grid_matches_hash_alignment(rng):
+    """End-to-end VGICP: dense-grid config reproduces the hash-map pose."""
+    from fast_gicp_tpu.models.vgicp import VGICPConfig, vgicp_align
+    from fast_gicp_tpu.ops.covariance import knn_covariances
+
+    n = 512
+    base = (rng.uniform(size=(n, 2)) * 8 - 4).astype(np.float32)
+    tgt = np.concatenate(
+        [base, np.sin(base[:, :1]) * np.cos(base[:, 1:])], axis=1
+    ).astype(np.float32)
+    c, s = np.cos(0.04), np.sin(0.04)
+    R = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    src = tgt @ R.T + np.asarray([0.15, -0.1, 0.05], np.float32)
+    p_s, p_t = jnp.asarray(src), jnp.asarray(tgt)
+    mask = jnp.ones(n, bool)
+    covs_s = knn_covariances(p_s, mask, k=10)
+    covs_t = knn_covariances(p_t, mask, k=10)
+    guess = jnp.eye(4, dtype=jnp.float32)
+    r_hash = vgicp_align(p_s, mask, covs_s, p_t, mask, covs_t, guess,
+                         VGICPConfig(resolution=0.5))
+    r_grid = vgicp_align(p_s, mask, covs_s, p_t, mask, covs_t, guess,
+                         VGICPConfig(resolution=0.5, grid_dims=(32, 32, 32)))
+    np.testing.assert_allclose(
+        np.asarray(r_hash.transformation),
+        np.asarray(r_grid.transformation),
+        atol=1e-5,
+    )
