@@ -23,11 +23,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .. import se3
-from ..ops import linalg3
+from ..ops import soa
 from ..ops.covariance import knn_covariances_jit
 from ..ops.neighbors import nn_search
-from ..ops.reduction import error_reduce, linearize_reduce
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
 from .base import Cloud, Registration
@@ -60,23 +58,41 @@ def make_gicp_objective(
 ):
     """Build (linearize_fn, error_fn) closures for the GICP objective.
 
-    `aux` freezes (correspondence indices, masked Mahalanobis) exactly like
+    `aux` freezes (correspondence targets, masked Mahalanobis) exactly like
     the reference freezes `correspondences_` / `mahalanobis_` across LM inner
     trials (fast_gicp_impl.hpp:118-155 vs :217-240).
+
+    Per-correspondence math runs in SoA (n-last) layout (ops/soa.py); the
+    target's (mean | cov) statistics ride one packed (N, 10) row-gather.
     """
     thr_sq = config.max_correspondence_distance**2
-    ones = jnp.ones(source.shape[0], source.dtype)
+    n = source.shape[0]
+    ones = jnp.ones(n, source.dtype)
+    P = soa.cols_from_points(source)  # (3, N)
+    C_A = soa.sym_cols_from_covs(source_covs)  # (6, N)
+    # Packed target rows [mean(3) | sym cov(6) | pad] for one-gather stats.
+    target_pack = jnp.concatenate(
+        [
+            target,
+            jnp.swapaxes(soa.sym_cols_from_covs(target_covs), 0, 1),
+        ],
+        axis=1,
+    )  # (N_t, 9)
 
     def linearize(x):
         R = x[:3, :3]
-        p_t = se3.transform_points(x, source)
-        idx, sq_dist = nn_search(p_t, target, target_mask)
+        p_t = soa.transform_cols(x, P)  # (3, N)
+        idx, sq_dist = nn_search(
+            jnp.swapaxes(p_t, 0, 1), target, target_mask
+        )
         valid = source_mask & (sq_dist < thr_sq)
-        cov_rot = se3.rotate_covs(R, source_covs)
-        RCR = target_covs[idx] + cov_rot
-        M = linalg3.inv3(RCR) * valid[:, None, None]
-        err, H, b = linearize_reduce(p_t, target[idx], M, ones, valid)
-        aux = (idx, M, valid)
+        rows = target_pack[idx]  # (N, 9)
+        q = soa.cols_from_points(rows[:, 0:3])  # (3, N)
+        cov_B = jnp.swapaxes(rows[:, 3:9], 0, 1)  # (6, N)
+        cov_rot = soa.rotate_sym_cols(R, C_A)
+        M = soa.inv_sym_cols(cov_B + cov_rot) * valid[None, :]
+        err, H, b = soa.linearize_cols(p_t, q, M, ones, valid)
+        aux = (q, M, valid)
         return (
             _psum(err, axis_name),
             _psum(H, axis_name),
@@ -85,9 +101,9 @@ def make_gicp_objective(
         )
 
     def error(x, aux):
-        idx, M, valid = aux
-        p_t = se3.transform_points(x, source)
-        return _psum(error_reduce(p_t, target[idx], M, ones, valid), axis_name)
+        q, M, valid = aux
+        p_t = soa.transform_cols(x, P)
+        return _psum(soa.error_cols(p_t, q, M, ones, valid), axis_name)
 
     return linearize, error
 

@@ -25,17 +25,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .. import se3
-from ..ops import linalg3
+from ..ops import soa
 from ..ops.covariance import regularize_covariances
-from ..ops.reduction import error_reduce, linearize_reduce
 from ..ops.voxelmap import (
-    VoxelMap,
     build_voxelmap,
-    gather_voxel_stats,
-    lookup_voxels,
+    lookup_voxels_cols,
     neighbor_offsets,
-    voxel_coord,
 )
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
@@ -51,13 +46,14 @@ class NDTConfig(NamedTuple):
     distance_mode: str = "d2d"  # "p2d" | "d2d"
     neighbor_search_method: str = "direct7"
     neighbor_search_radius: float = 1.5
+    grid_dims: tuple | None = None
     lsq: LsqConfig = LsqConfig()
 
 
-def _ndt_voxelmap(points, mask, resolution) -> VoxelMap:
+def _ndt_voxelmap(points, mask, resolution, grid_dims=None):
     """NDT voxel map: raw-point statistics + MIN_EIG regularization
     (gaussian_voxelmap.cu ndt_finalize_voxels_kernel + ndt_cuda.cu:120-140)."""
-    vm = build_voxelmap(points, mask, resolution, mode="raw")
+    vm = build_voxelmap(points, mask, resolution, mode="raw", grid_dims=grid_dims)
     covs = regularize_covariances(vm.covs, "min_eig")
     # Keep the gather-optimized packed stats in sync with the regularized covs.
     c = covs.shape[0]
@@ -79,59 +75,63 @@ def make_ndt_objective(
     config: NDTConfig,
     axis_name=None,
 ):
-    """(linearize_fn, error_fn) for P2D/D2D NDT."""
+    """(linearize_fn, error_fn) for P2D/D2D NDT, in SoA (n-last) layout
+    (see ops/soa.py)."""
     n = src_means.shape[0]
     k = offsets.shape[0]
+    P = soa.cols_from_points(src_means)  # (3, N)
+    C_A = None if src_covs is None else soa.sym_cols_from_covs(src_covs)
+    offs = offsets.T[:, :, None]  # (3, K, 1)
 
     def _psum(v):
         return v if axis_name is None else jax.lax.psum(v, axis_name)
 
     def correspondences(x):
-        p_t = se3.transform_points(x, src_means)
-        coords = voxel_coord(p_t, vmap.resolution)
-        qc = coords[:, None, :] + offsets[None, :, :]
-        vids = lookup_voxels(vmap, qc)
+        p_t = soa.transform_cols(x, P)  # (3, N)
+        coords = jnp.floor(p_t / vmap.resolution - 0.5).astype(jnp.int32)
+        qx = coords[0][None, :] + offs[0]  # (K, N)
+        qy = coords[1][None, :] + offs[1]
+        qz = coords[2][None, :] + offs[2]
+        vids = lookup_voxels_cols(vmap, qx, qy, qz)
         safe = jnp.maximum(vids, 0)
         valid = (
             (vids >= 0)
-            & src_mask[:, None]
+            & src_mask[None, :]
             & (vmap.counts[safe] > _MIN_VOXEL_POINTS)
         )
         return p_t, safe, valid
 
-    def flat(a):
-        return a.reshape((n * k,) + a.shape[2:])
-
-    def weights(p_t, mu_B, valid):
-        e_sq = jnp.sum((mu_B - p_t[:, None, :]) ** 2, axis=-1)
+    def weights(p_b, mu_B, valid):
+        e_sq = jnp.sum((mu_B - p_b) ** 2, axis=-2)  # (K, N)
         return jnp.where(valid, _cauchy_weight(vmap.resolution, e_sq), 0.0)
 
     def linearize(x):
         R = x[:3, :3]
         p_t, vids, valid = correspondences(x)
-        mu_B, cov_B, _n_B = gather_voxel_stats(vmap, vids)
-        if src_covs is None:  # P2D: M = cov_B^-1
-            M = linalg3.inv3(cov_B)
+        rows = vmap.packed[vids]  # (K, N, 16)
+        mu_B, cov_B, _n_B = soa.sym_cols_from_packed(rows)
+        if C_A is None:  # P2D: M = cov_B^-1
+            M = soa.inv_sym_cols(cov_B)
         else:  # D2D: M = (cov_B + R C_A R^T)^-1 at the linearization point
-            cov_rot = se3.rotate_covs(R, src_covs)
-            M = linalg3.inv3(cov_B + cov_rot[:, None])
-        M = M * valid[..., None, None]
-        w = weights(p_t, mu_B, valid)
-        p_flat = jnp.broadcast_to(p_t[:, None, :], (n, k, 3))
-        err, H, b = linearize_reduce(
-            flat(p_flat), flat(mu_B), flat(M), flat(w), flat(valid)
+            M = soa.inv_sym_cols(cov_B + soa.rotate_sym_cols(R, C_A)[None])
+        M = M * valid[:, None, :]
+        p_b = jnp.broadcast_to(p_t[None], (k, 3, n))
+        w = weights(p_b, mu_B, valid)
+        err, H, b = soa.linearize_cols(p_b, mu_B, M, w, valid)
+        aux = (valid, M, mu_B)
+        return (
+            _psum(jnp.sum(err, 0)),
+            _psum(jnp.sum(H, 0)),
+            _psum(jnp.sum(b, 0)),
+            aux,
         )
-        aux = (vids, valid, M, mu_B)
-        return _psum(err), _psum(H), _psum(b), aux
 
     def error(x, aux):
-        vids, valid, M, mu_B = aux
-        p_t = se3.transform_points(x, src_means)
-        w = weights(p_t, mu_B, valid)  # trial-pose Cauchy weight
-        p_flat = jnp.broadcast_to(p_t[:, None, :], (n, k, 3))
-        return _psum(
-            error_reduce(flat(p_flat), flat(mu_B), flat(M), flat(w), flat(valid))
-        )
+        valid, M, mu_B = aux
+        p_t = soa.transform_cols(x, P)
+        p_b = jnp.broadcast_to(p_t[None], (k, 3, n))
+        w = weights(p_b, mu_B, valid)  # trial-pose Cauchy weight
+        return _psum(jnp.sum(soa.error_cols(p_b, mu_B, M, w, valid), 0))
 
     return linearize, error
 
@@ -147,7 +147,9 @@ def ndt_align(
     config: NDTConfig = NDTConfig(),
 ) -> LsqResult:
     """Single-device NDT align; voxel maps built in-graph from raw points."""
-    target_vm = _ndt_voxelmap(target, target_mask, config.resolution)
+    target_vm = _ndt_voxelmap(
+        target, target_mask, config.resolution, grid_dims=config.grid_dims
+    )
     offsets = jnp.asarray(
         neighbor_offsets(
             config.neighbor_search_method, config.neighbor_search_radius
@@ -158,7 +160,9 @@ def ndt_align(
             source, source_mask, None, target_vm, offsets, config
         )
     elif config.distance_mode == "d2d":
-        source_vm = _ndt_voxelmap(source, source_mask, config.resolution)
+        source_vm = _ndt_voxelmap(
+            source, source_mask, config.resolution, grid_dims=config.grid_dims
+        )
         src_mask = source_vm.counts > 0
         lin, err = make_ndt_objective(
             source_vm.means, src_mask, source_vm.covs, target_vm, offsets, config
@@ -176,9 +180,14 @@ class NDTCuda(Registration):
     distance_mode: str = "d2d"
     neighbor_search_method: str = "direct7"
     neighbor_search_radius: float = 1.5
+    # "auto": dense grid sized from the clouds' extent; None: hash map.
+    grid_dims: object = "auto"
 
     def set_resolution(self, r: float) -> None:
         self.resolution = float(r)
+
+    def set_grid_dims(self, dims) -> None:
+        self.grid_dims = tuple(dims) if dims not in (None, "auto") else dims
 
     def set_distance_mode(self, mode: str) -> None:
         if mode not in ("p2d", "d2d"):
@@ -190,14 +199,29 @@ class NDTCuda(Registration):
         if radius is not None:
             self.neighbor_search_radius = float(radius)
 
-    def _config(self) -> NDTConfig:
+    def _config(self, grid_dims=None) -> NDTConfig:
         return NDTConfig(
             resolution=self.resolution,
             distance_mode=self.distance_mode,
             neighbor_search_method=self.neighbor_search_method,
             neighbor_search_radius=self.neighbor_search_radius,
+            grid_dims=grid_dims,
             lsq=self._lsq_config(),
         )
+
+    def _grid_dims(self, source: Cloud, target: Cloud):
+        if self.grid_dims != "auto":
+            return self.grid_dims
+        import numpy as np
+
+        from ..ops.voxelmap import auto_grid_dims
+
+        # Cover BOTH clouds (D2D builds a source voxel map too; grid-build
+        # drops out-of-range voxels, so size for the union of extents).
+        pts = np.concatenate(
+            [source.host_points[: source.size], target.host_points[: target.size]]
+        )
+        return auto_grid_dims(pts, self.resolution)
 
     def _compute(self, source: Cloud, target: Cloud, guess):
         return ndt_align(
@@ -206,7 +230,7 @@ class NDTCuda(Registration):
             target.points,
             target.mask,
             guess,
-            self._config(),
+            self._config(grid_dims=self._grid_dims(source, target)),
         )
 
 

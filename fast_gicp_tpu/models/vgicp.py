@@ -28,21 +28,17 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .. import se3
-from ..ops import linalg3
+from ..ops import soa
 from ..ops.covariance import (
     covariances_from_neighbors_jit,
     knn_covariances_jit,
     rbf_covariances_jit,
 )
-from ..ops.reduction import error_reduce, linearize_reduce
 from ..ops.voxelmap import (
     auto_grid_dims,
     build_voxelmap,
-    gather_voxel_stats,
-    lookup_voxels,
+    lookup_voxels_cols,
     neighbor_offsets,
-    voxel_coord,
 )
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
@@ -79,50 +75,58 @@ def make_vgicp_objective(
 ):
     """(linearize_fn, error_fn) for the voxelized GICP objective.
 
-    aux freezes (voxel ids, validity, Mahalanobis, weights) across LM inner
-    trials, matching voxel_correspondences_/voxel_mahalanobis_ reuse
+    aux freezes (Mahalanobis, weights, voxel means, validity) across LM
+    inner trials, matching voxel_correspondences_/voxel_mahalanobis_ reuse
     (fast_vgicp_impl.hpp:101-115 vs :183-204).
+
+    All per-correspondence math runs in SoA (n-last) layout — points as
+    (3, N) columns, symmetric matrices as (6, N) coefficient rows, offsets
+    leading as (K, ..., N) — keeping the big axis in TPU lanes (ops/soa.py).
     """
     n = source.shape[0]
     k = offsets.shape[0]
+    P = soa.cols_from_points(source)  # (3, N)
+    C_A = soa.sym_cols_from_covs(source_covs)  # (6, N)
+    offs = offsets.T[:, :, None]  # (3, K, 1)
 
     def _psum(v):
         return v if axis_name is None else jax.lax.psum(v, axis_name)
 
     def correspondences(x):
-        p_t = se3.transform_points(x, source)  # (N, 3)
-        coords = voxel_coord(p_t, vmap.resolution)  # (N, 3) int32
-        qc = coords[:, None, :] + offsets[None, :, :]  # (N, K, 3)
-        vids = lookup_voxels(vmap, qc)  # (N, K)
-        valid = (vids >= 0) & source_mask[:, None]
-        safe = jnp.maximum(vids, 0)
-        return p_t, safe, valid
+        p_t = soa.transform_cols(x, P)  # (3, N)
+        coords = jnp.floor(p_t / vmap.resolution - 0.5).astype(jnp.int32)
+        qx = coords[0][None, :] + offs[0]  # (K, N)
+        qy = coords[1][None, :] + offs[1]
+        qz = coords[2][None, :] + offs[2]
+        vids = lookup_voxels_cols(vmap, qx, qy, qz)  # (K, N)
+        valid = (vids >= 0) & source_mask[None, :]
+        return p_t, jnp.maximum(vids, 0), valid
 
     def linearize(x):
         R = x[:3, :3]
         p_t, vids, valid = correspondences(x)
-        mu_B, cov_B, n_B = gather_voxel_stats(vmap, vids)  # one row-gather
+        rows = vmap.packed[vids]  # (K, N, 16), one row-gather
+        mu_B, cov_B, n_B = soa.sym_cols_from_packed(rows)
 
-        cov_rot = se3.rotate_covs(R, source_covs)  # (N, 3, 3)
-        M = linalg3.inv3(cov_B + cov_rot[:, None]) * valid[..., None, None]
-        w = jnp.sqrt(n_B)
+        cov_rot = soa.rotate_sym_cols(R, C_A)  # (6, N)
+        M = soa.inv_sym_cols(cov_B + cov_rot[None]) * valid[:, None, :]
+        w = jnp.sqrt(n_B)  # sqrt(#points) weight, fast_vgicp_impl.hpp:149
 
-        flat = lambda a: a.reshape((n * k,) + a.shape[2:])
-        p_flat = jnp.broadcast_to(p_t[:, None, :], (n, k, 3))
-        err, H, b = linearize_reduce(
-            flat(p_flat), flat(mu_B), flat(M), flat(w), flat(valid)
+        p_b = jnp.broadcast_to(p_t[None], (k, 3, n))
+        err, H, b = soa.linearize_cols(p_b, mu_B, M, w, valid)
+        aux = (valid, M, w, mu_B)
+        return (
+            _psum(jnp.sum(err, 0)),
+            _psum(jnp.sum(H, 0)),
+            _psum(jnp.sum(b, 0)),
+            aux,
         )
-        aux = (vids, valid, M, w, mu_B)
-        return _psum(err), _psum(H), _psum(b), aux
 
     def error(x, aux):
-        vids, valid, M, w, mu_B = aux
-        p_t = se3.transform_points(x, source)
-        flat = lambda a: a.reshape((n * k,) + a.shape[2:])
-        p_flat = jnp.broadcast_to(p_t[:, None, :], (n, k, 3))
-        return _psum(
-            error_reduce(flat(p_flat), flat(mu_B), flat(M), flat(w), flat(valid))
-        )
+        valid, M, w, mu_B = aux
+        p_t = soa.transform_cols(x, P)
+        p_b = jnp.broadcast_to(p_t[None], (k, 3, n))
+        return _psum(jnp.sum(soa.error_cols(p_b, mu_B, M, w, valid), 0))
 
     return linearize, error
 

@@ -122,7 +122,7 @@ def build_voxelmap(
     table_factor: int = 8,
     max_probe: int = MAX_PROBE,
     grid_dims: tuple | None = None,
-) -> VoxelMap:
+):
     """Build a Gaussian voxel map from (N, 3) points (+ per-point covs).
 
     mode:
@@ -139,6 +139,10 @@ def build_voxelmap(
     """
     if mode not in ACCUMULATION_MODES:
         raise ValueError(f"unknown accumulation mode: {mode}")
+    if grid_dims is not None:
+        return _build_grid_voxelmap(
+            points, mask, resolution, covs, mode, grid_dims
+        )
     n = points.shape[0]
     capacity = capacity or n
     table_size = next_pow2(table_factor * capacity)
@@ -166,45 +170,13 @@ def build_voxelmap(
     # Map voxel id back to original point order for the accumulation scatter.
     vid = jnp.zeros(n, dtype=jnp.int32).at[order].set(vid_sorted)
 
-    valid_f = mask.astype(dtype)
-
-    if mode == "raw":
-        m_contrib = points
-        c_contrib = points[:, :, None] * points[:, None, :]
-    elif mode == "multiplicative":
-        if covs is None:
-            raise ValueError("multiplicative mode needs per-point covariances")
-        cov_inv = linalg3.inv3(covs, eps=1e-30)
-        m_contrib = jnp.einsum("nij,nj->ni", cov_inv, points)
-        c_contrib = cov_inv
-    else:
-        if covs is None:
-            raise ValueError("additive mode needs per-point covariances")
-        m_contrib = points
-        c_contrib = covs
-
     # One fused scatter for [count | sum mean | sum cov] (scatters have high
     # fixed cost on TPU; three separate ones measurably slow the build).
-    contrib = jnp.concatenate(
-        [jnp.ones((n, 1), dtype), m_contrib, c_contrib.reshape(n, 9)], axis=1
-    ) * valid_f[:, None]
+    contrib = _mode_contrib(points, mask, covs, mode)
     acc = (
         jnp.zeros((capacity + 1, 13), dtype).at[vid].add(contrib)
     )[:capacity]
-    counts = acc[:, 0].astype(jnp.int32)
-    sum_means = acc[:, 1:4]
-    sum_covs = acc[:, 4:13].reshape(capacity, 3, 3)
-
-    n_f = jnp.maximum(counts.astype(dtype), 1.0)[:, None]
-    if mode == "multiplicative":
-        covs_out = linalg3.inv3(sum_covs, eps=1e-30)
-        means = jnp.einsum("nij,nj->ni", covs_out, sum_means)
-    elif mode == "raw":
-        means = sum_means / n_f
-        covs_out = sum_covs / n_f[..., None] - means[:, :, None] * means[:, None, :]
-    else:
-        means = sum_means / n_f
-        covs_out = sum_covs / n_f[..., None]
+    means, covs_out, counts = _finalize(acc, mode)
 
     # Voxel coords per voxel id (scatter from the sorted boundaries).
     vcoords = (
@@ -213,42 +185,7 @@ def build_voxelmap(
         .set(jnp.stack([cx, cy, cz], axis=-1))
     )[:capacity]
 
-    packed = jnp.concatenate(
-        [
-            means,
-            covs_out.reshape(capacity, 9),
-            counts.astype(dtype)[:, None],
-            jnp.zeros((capacity, 3), dtype),
-        ],
-        axis=1,
-    )
-
-    if grid_dims is not None:
-        gx, gy, gz = grid_dims
-        vids = jnp.arange(capacity, dtype=jnp.int32)
-        live = vids < num_voxels
-        origin = jnp.min(
-            jnp.where(live[:, None], vcoords, _COORD_SENTINEL), axis=0
-        )
-        rel = vcoords - origin
-        dims = jnp.asarray([gx, gy, gz], jnp.int32)
-        inside = live & jnp.all((rel >= 0) & (rel < dims), axis=-1)
-        flat = (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2]
-        flat = jnp.where(inside, flat, gx * gy * gz)  # park outside voxels
-        grid = (
-            jnp.full(gx * gy * gz + 1, -1, jnp.int32).at[flat].set(vids)
-        )[:-1].reshape(gx, gy, gz)
-        return GridVoxelMap(
-            means=means,
-            covs=covs_out,
-            counts=counts,
-            coords=vcoords,
-            num_voxels=num_voxels,
-            resolution=jnp.asarray(resolution, dtype),
-            packed=packed,
-            grid=grid,
-            origin=origin,
-        )
+    packed = _pack(means, covs_out, counts, dtype)
 
     table = _build_table(vcoords, num_voxels, capacity, table_size, max_probe)
     safe_t = jnp.maximum(table, 0) * (table != _EMPTY)
@@ -267,6 +204,109 @@ def build_voxelmap(
         resolution=jnp.asarray(resolution, dtype),
         packed=packed,
         lut=lut,
+    )
+
+
+def _mode_contrib(points, mask, covs, mode):
+    """(N, 13) accumulation rows [1 | mean-contrib (3) | cov-contrib (9)]."""
+    n = points.shape[0]
+    dtype = points.dtype
+    if mode == "raw":
+        m_contrib = points
+        c_contrib = points[:, :, None] * points[:, None, :]
+    elif mode == "multiplicative":
+        if covs is None:
+            raise ValueError("multiplicative mode needs per-point covariances")
+        cov_inv = linalg3.inv3(covs, eps=1e-30)
+        m_contrib = jnp.einsum("nij,nj->ni", cov_inv, points)
+        c_contrib = cov_inv
+    else:
+        if covs is None:
+            raise ValueError("additive mode needs per-point covariances")
+        m_contrib = points
+        c_contrib = covs
+    return jnp.concatenate(
+        [jnp.ones((n, 1), dtype), m_contrib, c_contrib.reshape(n, 9)], axis=1
+    ) * mask.astype(dtype)[:, None]
+
+
+def _finalize(acc, mode):
+    """(C, 13) accumulated rows -> (means, covs, counts)."""
+    c = acc.shape[0]
+    dtype = acc.dtype
+    counts = acc[:, 0].astype(jnp.int32)
+    sum_means = acc[:, 1:4]
+    sum_covs = acc[:, 4:13].reshape(c, 3, 3)
+    n_f = jnp.maximum(acc[:, 0:1], 1.0)
+    if mode == "multiplicative":
+        covs_out = linalg3.inv3(sum_covs, eps=1e-30)
+        means = jnp.einsum("nij,nj->ni", covs_out, sum_means)
+    elif mode == "raw":
+        means = sum_means / n_f
+        covs_out = sum_covs / n_f[..., None] - means[:, :, None] * means[:, None, :]
+    else:
+        means = sum_means / n_f
+        covs_out = sum_covs / n_f[..., None]
+    return means, covs_out, counts
+
+
+def _pack(means, covs, counts, dtype):
+    c = means.shape[0]
+    return jnp.concatenate(
+        [
+            means,
+            covs.reshape(c, 9),
+            counts.astype(dtype)[:, None],
+            jnp.zeros((c, 3), dtype),
+        ],
+        axis=1,
+    )
+
+
+def _build_grid_voxelmap(points, mask, resolution, covs, mode, grid_dims):
+    """Sortless dense-grid build: each occupied cell is claimed by its
+    lowest-index member point via ONE scatter-min (the dataflow analogue of
+    the reference's atomicCAS claim, gaussian_voxelmap.cu:41-43); that
+    representative point's index IS the voxel id, so there is no sort, no
+    boundary detection, and no compaction.  Voxel ids are sparse in [0, N)
+    — consumers only ever test `vid >= 0` and gather packed rows, so
+    compactness is not required.
+    """
+    n = points.shape[0]
+    dtype = points.dtype
+    gx, gy, gz = grid_dims
+    ncells = gx * gy * gz
+
+    coords = voxel_coord(points, resolution)
+    origin = jnp.min(
+        jnp.where(mask[:, None], coords, _COORD_SENTINEL), axis=0
+    )
+    rel = coords - origin
+    dims = jnp.asarray([gx, gy, gz], jnp.int32)
+    inside = mask & jnp.all((rel >= 0) & (rel < dims), axis=-1)
+    flat = (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2]
+    flat = jnp.where(inside, flat, ncells)  # park masked/outside points
+
+    point_idx = jnp.arange(n, dtype=jnp.int32)
+    claim = jnp.full(ncells + 1, n, jnp.int32).at[flat].min(point_idx)
+    rep = claim[flat]  # (N,) voxel id (= representative point) per point
+
+    contrib = _mode_contrib(points, inside, covs, mode)
+    vid = jnp.where(inside, rep, n)
+    acc = (jnp.zeros((n + 1, 13), dtype).at[vid].add(contrib))[:n]
+    means, covs_out, counts = _finalize(acc, mode)
+
+    grid = jnp.where(claim[:ncells] < n, claim[:ncells], -1).reshape(gx, gy, gz)
+    return GridVoxelMap(
+        means=means,
+        covs=covs_out,
+        counts=counts,
+        coords=coords,
+        num_voxels=jnp.sum((counts > 0).astype(jnp.int32)),
+        resolution=jnp.asarray(resolution, dtype),
+        packed=_pack(means, covs_out, counts, dtype),
+        grid=grid,
+        origin=origin,
     )
 
 
@@ -340,6 +380,42 @@ def lookup_voxels(vmap, query_coords, max_probe: int = MAX_PROBE):
         return jnp.where((found < 0) & match, row[..., 0], found)
 
     return jax.lax.fori_loop(0, max_probe, body, found)
+
+
+def lookup_voxels_cols(vmap, cx, cy, cz):
+    """SoA lookup: integer coord component arrays (...,) -> voxel id or -1.
+
+    Same semantics as `lookup_voxels`, but operating on separate x/y/z
+    columns so every intermediate keeps the large axis in lanes (an
+    (N, K, 3) query array would run at 3/128 lane utilization).
+    """
+    if isinstance(vmap, GridVoxelMap):
+        gx, gy, gz = vmap.grid.shape
+        rx = cx - vmap.origin[0]
+        ry = cy - vmap.origin[1]
+        rz = cz - vmap.origin[2]
+        inside = (
+            (rx >= 0) & (rx < gx) & (ry >= 0) & (ry < gy) & (rz >= 0) & (rz < gz)
+        )
+        flat = (rx * gy + ry) * gz + rz
+        vid = vmap.grid.reshape(-1)[jnp.where(inside, flat, 0)]
+        return jnp.where(inside, vid, -1)
+    table_size = vmap.table.shape[0]
+    h = (
+        (cx.astype(jnp.uint32) * _HP1)
+        ^ (cy.astype(jnp.uint32) * _HP2)
+        ^ (cz.astype(jnp.uint32) * _HP3)
+    )
+    slot0 = (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+    found = cx * 0 - 1
+
+    def body(p, found):
+        slot = (slot0 + p) & jnp.int32(table_size - 1)
+        row = vmap.lut[slot]  # (..., 4): [vid, cx, cy, cz]
+        match = (row[..., 1] == cx) & (row[..., 2] == cy) & (row[..., 3] == cz)
+        return jnp.where((found < 0) & match, row[..., 0], found)
+
+    return jax.lax.fori_loop(0, MAX_PROBE, body, found)
 
 
 def gather_voxel_stats(vmap: VoxelMap, vids):

@@ -23,13 +23,19 @@ source = voxel_downsample(strip_near_origin(load_pcd(f"{data}/251371071.pcd")), 
 sp, sm = map(jnp.asarray, pad_points(source))
 tp, tm = map(jnp.asarray, pad_points(target))
 guess = jnp.eye(4, dtype=jnp.float32)
-config = VGICPConfig()
-print("shapes:", sp.shape, tp.shape, "device:", jax.devices()[0])
+from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+
+dims = auto_grid_dims(target, 1.0)
+config = VGICPConfig(grid_dims=dims)
+print("shapes:", sp.shape, tp.shape, "grid:", dims, "device:", jax.devices()[0])
 
 build_jit = jax.jit(lambda p, m, c: build_voxelmap(p, m, 1.0, covs=c))
+build_grid_jit = jax.jit(
+    lambda p, m, c: build_voxelmap(p, m, 1.0, covs=c, grid_dims=dims)
+)
 
 
-def timeit(name, fn, k=20):
+def timeit(name, fn, k=100):
     r = fn()
     jax.block_until_ready(r)
     _ = jax.device_get(jax.tree_util.tree_leaves(r)[0])
@@ -47,7 +53,8 @@ timeit("rbf_moments_pallas", lambda: rbf_moments_pallas(sp, sm, 0.5, 3.0))
 timeit("knn_covariances (XLA approx)", lambda: knn_covariances_jit(sp, sm))
 timeit("nn_search_pallas", lambda: nn_search_pallas(sp, tp, tm))
 tcovs = rbf_covariances_jit(tp, tm)
-vm = timeit("build_voxelmap", lambda: build_jit(tp, tm, tcovs))
+vm = timeit("build_voxelmap (hash)", lambda: build_jit(tp, tm, tcovs))
+timeit("build_voxelmap (grid, sortless)", lambda: build_grid_jit(tp, tm, tcovs))
 timeit(
     "vgicp_align (solve only, covs ready)",
     lambda: vgicp_align(sp, sm, scovs, tp, tm, tcovs, guess, config),

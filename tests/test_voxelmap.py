@@ -128,21 +128,26 @@ def test_masked_points_excluded(rng):
 
 
 def test_grid_voxelmap_matches_hash(rng):
-    """Dense-grid map: identical stats and lookup results to the hash map."""
+    """Dense-grid map: same voxel statistics as the hash map (grid voxel ids
+    are sparse representative-point indices, so match via coordinates)."""
     pts, p, m = _cloud(rng)
     covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (p.shape[0], 3, 3))
     hm = build_voxelmap(p, m, 1.0, covs=covs)
     gm = build_voxelmap(p, m, 1.0, covs=covs, grid_dims=(32, 32, 32))
     assert int(gm.num_voxels) == int(hm.num_voxels)
+    nv = int(hm.num_voxels)
+    # Look up every hash voxel's coordinate in the grid map; stats must agree.
+    gids = np.asarray(lookup_voxels(gm, hm.coords[:nv]))
+    assert (gids >= 0).all()
     np.testing.assert_allclose(
-        np.asarray(gm.means[: int(gm.num_voxels)]),
-        np.asarray(hm.means[: int(hm.num_voxels)]),
-        rtol=1e-6,
+        np.asarray(gm.means)[gids], np.asarray(hm.means[:nv]), rtol=1e-5
     )
-    # Every real voxel coordinate resolves to itself; absent coords miss.
-    nv = int(gm.num_voxels)
-    got = np.asarray(lookup_voxels(gm, gm.coords[:nv]))
-    np.testing.assert_array_equal(got, np.arange(nv))
+    np.testing.assert_allclose(
+        np.asarray(gm.covs)[gids], np.asarray(hm.covs[:nv]), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gm.counts)[gids], np.asarray(hm.counts[:nv])
+    )
     miss = lookup_voxels(gm, jnp.asarray([[500, 500, 500], [-40, 0, 0]]))
     np.testing.assert_array_equal(np.asarray(miss), [-1, -1])
 
@@ -154,8 +159,9 @@ def test_grid_voxelmap_out_of_bounds_dropped(rng):
     m = jnp.ones(2, bool)
     covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (2, 3, 3))
     gm = build_voxelmap(p, m, 1.0, covs=covs, grid_dims=(8, 8, 8))
-    # both voxels exist as stats rows, but only the in-grid one resolves
-    assert int(gm.num_voxels) == 2
+    # the outside point is dropped at build: one live voxel, and lookups of
+    # the outside coordinate miss rather than alias
+    assert int(gm.num_voxels) == 1
     vids = np.asarray(lookup_voxels(gm, voxel_coord(p, 1.0)))
     assert vids[0] >= 0 and vids[1] == -1
 
