@@ -30,9 +30,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from fast_gicp_tpu.models.vgicp import VGICPConfig, vgicp_align
+    from fast_gicp_tpu.models.vgicp import VGICPConfig, vgicp_register
     from fast_gicp_tpu.models.metrics import fitness_score
-    from fast_gicp_tpu.ops.covariance import rbf_covariances_jit
     from fast_gicp_tpu.utils.downsample import voxel_downsample
     from fast_gicp_tpu.utils.io import load_pcd, load_relative_txt, strip_near_origin
     from fast_gicp_tpu.utils.padding import pad_points
@@ -50,9 +49,9 @@ def main() -> None:
     config = VGICPConfig(grid_dims=auto_grid_dims(target, 1.0))
 
     def one_registration():
-        scovs = rbf_covariances_jit(sp, sm)
-        tcovs = rbf_covariances_jit(tp, tm)
-        return vgicp_align(sp, sm, scovs, tp, tm, tcovs, guess, config)
+        # Full protocol per iteration (covariances for BOTH clouds + align),
+        # fused into one jitted graph.
+        return vgicp_register(sp, sm, tp, tm, guess, config)
 
     # Warm-up / compile (the reference warms the GPU at construction,
     # fast_vgicp_cuda.cu:20).

@@ -27,9 +27,22 @@ if not _os.environ.get("FAST_GICP_TPU_NO_CACHE"):
 from . import se3
 from .solver import LsqConfig, LsqResult, lsq_solve
 from .models.base import Registration
-from .models.gicp import FastGICP, GICPConfig, gicp_align
-from .models.vgicp import FastVGICP, FastVGICPCuda, VGICPConfig, vgicp_align
-from .models.ndt import NDT, NDTConfig, NDTCuda, ndt_align
+from .models.gicp import (
+    FastGICP,
+    FastGICPSingleThread,
+    GICPConfig,
+    gicp_align,
+    gicp_evaluate,
+)
+from .models.vgicp import (
+    FastVGICP,
+    FastVGICPCuda,
+    VGICPConfig,
+    vgicp_align,
+    vgicp_evaluate,
+    vgicp_register,
+)
+from .models.ndt import NDT, NDTConfig, NDTCuda, ndt_align, ndt_evaluate
 from .models.metrics import fitness_score, pose_error
 
 __version__ = "0.1.0"
@@ -41,16 +54,21 @@ __all__ = [
     "lsq_solve",
     "Registration",
     "FastGICP",
+    "FastGICPSingleThread",
     "GICPConfig",
     "gicp_align",
+    "gicp_evaluate",
     "FastVGICP",
     "FastVGICPCuda",
     "VGICPConfig",
     "vgicp_align",
+    "vgicp_evaluate",
+    "vgicp_register",
     "NDT",
     "NDTConfig",
     "NDTCuda",
     "ndt_align",
+    "ndt_evaluate",
     "fitness_score",
     "pose_error",
 ]

@@ -52,6 +52,7 @@ class Registration:
     lm_max_iterations: int = 10
     lm_init_lambda_factor: float = 1e-9
     max_correspondence_distance: float = math.inf
+    lm_debug_print: bool = False
     bucket: int = DEFAULT_BUCKET
 
     _source: Optional[Cloud] = field(default=None, repr=False)
@@ -123,6 +124,11 @@ class Registration:
             raise ValueError("optimizer must be 'lm' or 'gn'")
         self.optimizer = kind
 
+    def set_debug_print(self, enabled: bool) -> None:
+        """Per-LM-trial debug table, the reference's setDebugPrint
+        (lsq_registration.hpp:41, impl:143-149)."""
+        self.lm_debug_print = bool(enabled)
+
     def _lsq_config(self) -> LsqConfig:
         return LsqConfig(
             max_iterations=self.max_iterations,
@@ -131,6 +137,7 @@ class Registration:
             optimizer=self.optimizer,
             lm_max_iterations=self.lm_max_iterations,
             lm_init_lambda_factor=self.lm_init_lambda_factor,
+            debug_print=self.lm_debug_print,
         )
 
     # -- alignment --------------------------------------------------------
@@ -156,6 +163,21 @@ class Registration:
         return self._final_T
 
     def _compute(self, source: Cloud, target: Cloud, guess: jax.Array):
+        raise NotImplementedError
+
+    def evaluate_cost(self, pose: np.ndarray, return_terms: bool = False):
+        """Objective value (and optionally H, b) at an arbitrary pose — the
+        reference's evaluateCost (lsq_registration.hpp:53,
+        lsq_registration_impl.hpp:48-50)."""
+        src, tgt = self._require_source(), self._require_target()
+        err, H, b = jax.device_get(
+            self._evaluate(src, tgt, jnp.asarray(pose, dtype=jnp.float32))
+        )
+        if return_terms:
+            return float(err), np.asarray(H, np.float64), np.asarray(b, np.float64)
+        return float(err)
+
+    def _evaluate(self, source: Cloud, target: Cloud, pose: jax.Array):
         raise NotImplementedError
 
     # -- results ----------------------------------------------------------

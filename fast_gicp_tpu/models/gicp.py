@@ -127,6 +127,22 @@ def gicp_align(
     return lsq_solve(linearize, error, guess.astype(source.dtype), config.lsq)
 
 
+@partial(jax.jit, static_argnames=("config",))
+@f32_matmuls
+def gicp_evaluate(
+    source, source_mask, source_covs, target, target_mask, target_covs,
+    pose, config: GICPConfig = GICPConfig(),
+):
+    """(error, H, b) of the GICP objective at an arbitrary pose — the
+    functional form of the reference's evaluateCost
+    (lsq_registration_impl.hpp:48-50)."""
+    linearize, _ = make_gicp_objective(
+        source, source_mask, source_covs, target, target_mask, target_covs, config
+    )
+    err, H, b, _aux = linearize(pose.astype(source.dtype))
+    return err, H, b
+
+
 @dataclass
 class FastGICP(Registration):
     """Class-API GICP, the equivalent of both `FastGICP` (multi-threaded)
@@ -180,4 +196,26 @@ class FastGICP(Registration):
             guess,
             self._config(),
         )
+
+    def _evaluate(self, source: Cloud, target: Cloud, pose):
+        self._ensure_covariances(source)
+        self._ensure_covariances(target)
+        return gicp_evaluate(
+            source.points,
+            source.mask,
+            source.covs,
+            target.points,
+            target.mask,
+            target.covs,
+            pose,
+            self._config(),
+        )
+
+
+class FastGICPSingleThread(FastGICP):
+    """Name-parity alias of the reference's `FastGICPSingleThread`
+    (fast_gicp_st.hpp:20-65).  Identical objective and results; the
+    single-thread variant's anchor-point re-search skip
+    (fast_gicp_st_impl.hpp:46-54) is a CPU latency trick with no TPU
+    analogue — the batched 1-NN search is already the fast path here."""
 

@@ -147,6 +147,12 @@ def ndt_align(
     config: NDTConfig = NDTConfig(),
 ) -> LsqResult:
     """Single-device NDT align; voxel maps built in-graph from raw points."""
+    lin, err = _ndt_objective_for(source, source_mask, target, target_mask, config)
+    return lsq_solve(lin, err, guess.astype(source.dtype), config.lsq)
+
+
+def _ndt_objective_for(source, source_mask, target, target_mask, config):
+    """Shared graph construction for align/evaluate."""
     target_vm = _ndt_voxelmap(
         target, target_mask, config.resolution, grid_dims=config.grid_dims
     )
@@ -156,20 +162,36 @@ def ndt_align(
         )
     )
     if config.distance_mode == "p2d":
-        lin, err = make_ndt_objective(
+        return make_ndt_objective(
             source, source_mask, None, target_vm, offsets, config
         )
-    elif config.distance_mode == "d2d":
+    if config.distance_mode == "d2d":
         source_vm = _ndt_voxelmap(
             source, source_mask, config.resolution, grid_dims=config.grid_dims
         )
-        src_mask = source_vm.counts > 0
-        lin, err = make_ndt_objective(
-            source_vm.means, src_mask, source_vm.covs, target_vm, offsets, config
+        return make_ndt_objective(
+            source_vm.means,
+            source_vm.counts > 0,
+            source_vm.covs,
+            target_vm,
+            offsets,
+            config,
         )
-    else:
-        raise ValueError(f"unknown NDT distance mode: {config.distance_mode}")
-    return lsq_solve(lin, err, guess.astype(source.dtype), config.lsq)
+    raise ValueError(f"unknown NDT distance mode: {config.distance_mode}")
+
+
+@partial(jax.jit, static_argnames=("config",))
+@f32_matmuls
+def ndt_evaluate(
+    source, source_mask, target, target_mask, pose,
+    config: NDTConfig = NDTConfig(),
+):
+    """(error, H, b) of the NDT objective at an arbitrary pose."""
+    linearize, _ = _ndt_objective_for(
+        source, source_mask, target, target_mask, config
+    )
+    err, H, b, _aux = linearize(pose.astype(source.dtype))
+    return err, H, b
 
 
 @dataclass
@@ -230,6 +252,16 @@ class NDTCuda(Registration):
             target.points,
             target.mask,
             guess,
+            self._config(grid_dims=self._grid_dims(source, target)),
+        )
+
+    def _evaluate(self, source: Cloud, target: Cloud, pose):
+        return ndt_evaluate(
+            source.points,
+            source.mask,
+            target.points,
+            target.mask,
+            pose,
             self._config(grid_dims=self._grid_dims(source, target)),
         )
 

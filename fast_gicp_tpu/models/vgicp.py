@@ -163,6 +163,67 @@ def vgicp_align(
     return lsq_solve(linearize, error, guess.astype(source.dtype), config.lsq)
 
 
+@partial(jax.jit, static_argnames=("config",))
+@f32_matmuls
+def vgicp_evaluate(
+    source, source_mask, source_covs, target, target_mask, target_covs,
+    pose, config: VGICPConfig = VGICPConfig(),
+):
+    """(error, H, b) of the VGICP objective at an arbitrary pose — the
+    functional form of the reference's evaluateCost
+    (lsq_registration_impl.hpp:48-50)."""
+    vmap = build_voxelmap(
+        target,
+        target_mask,
+        config.resolution,
+        covs=target_covs,
+        mode=config.voxel_accumulation,
+        grid_dims=config.grid_dims,
+    )
+    offsets = jnp.asarray(
+        neighbor_offsets(
+            config.neighbor_search_method, config.neighbor_search_radius
+        )
+    )
+    linearize, _ = make_vgicp_objective(
+        source, source_mask, source_covs, vmap, offsets, config
+    )
+    err, H, b, _aux = linearize(pose.astype(source.dtype))
+    return err, H, b
+
+
+@partial(jax.jit, static_argnames=("config", "kernel_width", "kernel_max_dist"))
+@f32_matmuls
+def vgicp_register(
+    source,
+    source_mask,
+    target,
+    target_mask,
+    guess,
+    config: VGICPConfig = VGICPConfig(),
+    kernel_width: float = 0.5,
+    kernel_max_dist: float = 3.0,
+) -> LsqResult:
+    """One-graph full registration: RBF covariances for BOTH clouds + align.
+
+    The single-jit equivalent of the reference's per-align covariance
+    re-estimation path (the `gicp_align` "100times" protocol,
+    align.cpp:56-76) — no host round trips between covariance estimation,
+    voxel-map build and the LM solve, so XLA overlaps them freely.
+    """
+    from ..ops.covariance import rbf_covariances
+
+    scovs = rbf_covariances(
+        source, source_mask, kernel_width=kernel_width, max_dist=kernel_max_dist
+    )
+    tcovs = rbf_covariances(
+        target, target_mask, kernel_width=kernel_width, max_dist=kernel_max_dist
+    )
+    return vgicp_align(
+        source, source_mask, scovs, target, target_mask, tcovs, guess, config
+    )
+
+
 @dataclass
 class FastVGICP(Registration):
     """Class-API VGICP; also hosts the CUDA variant's covariance selector
@@ -286,6 +347,20 @@ class FastVGICP(Registration):
             target.mask,
             target.covs,
             guess,
+            self._config(grid_dims=self._grid_dims(target)),
+        )
+
+    def _evaluate(self, source: Cloud, target: Cloud, pose):
+        self._ensure_covariances(source)
+        self._ensure_covariances(target)
+        return vgicp_evaluate(
+            source.points,
+            source.mask,
+            source.covs,
+            target.points,
+            target.mask,
+            target.covs,
+            pose,
             self._config(grid_dims=self._grid_dims(target)),
         )
 

@@ -24,7 +24,11 @@ Performance notes (measured on TPU v5e, 16k points):
     statistical noise of kernel density estimation, and end-to-end
     registration error on the bundled reference pair is unchanged (in fact
     slightly better than the chunked-XLA f32 path).
-  * Tile sizes 512x1024 won by sweep over {256,512,1024}^2.
+  * Tile sizes by sweep: 512x1024 for the argmin-heavy NN kernel,
+    1024x2048 for the matmul-heavy RBF kernel.
+  * A symmetric variant (each (i, j) tile feeding both out rows i and j)
+    was measured SLOWER despite halving the FLOPs — the kernels are bound
+    by per-step grid overhead, not compute.
 
 Layout: point clouds are passed transposed as (8, N) f32 — rows 0..2 are
 x,y,z, row 3 is the squared norm (+BIG for masked points), rows 4..7 pad the
@@ -45,9 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .neighbors import MASK_COORD
 
-# Tile sizes: query rows per step x target cols per step.
+# Tile sizes: query rows per step x target cols per step.  Swept on v5e:
+# the NN kernel (argmin-heavy) prefers smaller tiles than the RBF kernel
+# (matmul-heavy).
 _QT = 512
 _TT = 1024
+_RQT = 1024
+_RTT = 2048
 
 _BIG = 3.0e38  # python float: jnp constants can't be captured by kernels
 
@@ -56,7 +64,7 @@ def supported(*sizes) -> bool:
     """True when the TPU kernels can serve these point counts on this
     backend (trace-time dispatch; CPU tests take the XLA fallback)."""
     return jax.default_backend() == "tpu" and all(
-        n % _QT == 0 and n % _TT == 0 for n in sizes
+        n % max(_TT, _RTT) == 0 for n in sizes
     )
 
 
@@ -163,8 +171,8 @@ def rbf_moments_pallas(points, mask, kernel_width, max_dist):
     masking (the reference lets zero-padded points contribute; we don't).
     """
     n = points.shape[0]
-    if n % _QT or n % _TT:
-        raise ValueError(f"n={n} not a multiple of ({_QT},{_TT})")
+    if n % _RQT or n % _RTT:
+        raise ValueError(f"n={n} not a multiple of ({_RQT},{_RTT})")
     pT = _prep_transposed(points, mask)
 
     # Moment features (N, 16): [1, x, y, z, vec(xx^T), 0, 0, 0] — 16 wide to
@@ -181,18 +189,18 @@ def rbf_moments_pallas(points, mask, kernel_width, max_dist):
     kw = jnp.full((1,), kernel_width, jnp.float32)
     md = jnp.full((1,), max_dist * max_dist, jnp.float32)
 
-    grid = (n // _QT, n // _TT)
+    grid = (n // _RQT, n // _RTT)
     out = pl.pallas_call(
         _rbf_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, _QT), lambda i, j: (0, i)),
-            pl.BlockSpec((8, _TT), lambda i, j: (0, j)),
-            pl.BlockSpec((_TT, 16), lambda i, j: (j, 0)),
+            pl.BlockSpec((8, _RQT), lambda i, j: (0, i)),
+            pl.BlockSpec((8, _RTT), lambda i, j: (0, j)),
+            pl.BlockSpec((_RTT, 16), lambda i, j: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((_QT, 16), lambda i, j: (i, 0)),
+        out_specs=pl.BlockSpec((_RQT, 16), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
     )(kw, md, pT, pT, feats)
     return out

@@ -13,7 +13,7 @@ import math
 
 import numpy as np
 
-from .models.gicp import FastGICP
+from .models.gicp import FastGICP, FastGICPSingleThread  # noqa: F401
 from .models.ndt import NDTCuda
 from .models.vgicp import FastVGICP, FastVGICPCuda
 from .models.base import Registration  # noqa: F401  (pygicp.LsqRegistration)
@@ -94,6 +94,7 @@ __all__ = [
     "align_points",
     "LsqRegistration",
     "FastGICP",
+    "FastGICPSingleThread",
     "FastVGICP",
     "FastVGICPCuda",
     "NDTCuda",

@@ -37,7 +37,12 @@ from .ops import linalg3
 
 
 class LsqConfig(NamedTuple):
-    """Optimizer settings; defaults match lsq_registration_impl.hpp:11-19."""
+    """Optimizer settings; defaults match lsq_registration_impl.hpp:11-19.
+
+    debug_print mirrors the reference's `setDebugPrint` LM table of
+    (y0, yi, rho, lambda, |d|) per inner trial
+    (lsq_registration_impl.hpp:143-149), emitted via jax.debug.print.
+    """
 
     max_iterations: int = 64
     rotation_epsilon: float = 2e-3
@@ -45,6 +50,7 @@ class LsqConfig(NamedTuple):
     optimizer: str = "lm"  # "lm" | "gn"
     lm_max_iterations: int = 10
     lm_init_lambda_factor: float = 1e-9
+    debug_print: bool = False
 
 
 class LsqResult(NamedTuple):
@@ -115,6 +121,14 @@ def lsq_solve(
             xi = delta @ x_cur
             yi = error_fn(xi, aux)
             rho = (y0 - yi) / jnp.dot(d, lam * d - b)
+
+            if config.debug_print:
+                jax.debug.print(
+                    "lm trial {j}: y0={y0} yi={yi} rho={rho} lambda={lam} "
+                    "|d|={dn}",
+                    j=j, y0=y0, yi=yi, rho=rho, lam=lam,
+                    dn=jnp.linalg.norm(d),
+                )
 
             reject = rho < 0.0
             conv_reject = reject & converged_fn(delta)

@@ -121,3 +121,51 @@ def test_gicp_fitness_score(pair_coarse):
     # at 0.4 m it is coarser — just bound it loosely and require sanity.
     fitness = reg.get_fitness_score()
     assert 0.0 < fitness < 1.0
+
+
+def test_multipoint_alignment(pair_coarse):
+    from fast_gicp_tpu.models.experimental import FastGICPMultiPoints
+
+    source, target, gt = pair_coarse
+    reg = FastGICPMultiPoints()
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    est = reg.align()
+    assert reg.has_converged()
+    _check(est, gt)
+
+
+def test_single_thread_alias(pair_coarse):
+    from fast_gicp_tpu import FastGICPSingleThread
+
+    source, target, gt = pair_coarse
+    reg = FastGICPSingleThread()
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    _check(reg.align(), gt)
+
+
+def test_evaluate_cost(pair_coarse):
+    """evaluateCost parity: error at the converged pose is a local minimum
+    and (err, H, b) terms are exposed (lsq_registration_impl.hpp:48-50)."""
+    source, target, gt = pair_coarse
+    reg = FastVGICP()
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    est = reg.align()
+    e_opt, H, b = reg.evaluate_cost(est, return_terms=True)
+    assert H.shape == (6, 6) and b.shape == (6,)
+    assert np.allclose(H, H.T, atol=1e-2)
+    e_id = reg.evaluate_cost(np.eye(4))
+    assert e_opt < e_id  # converged pose beats the identity guess
+
+
+def test_debug_print_smoke(pair_coarse, capfd):
+    source, target, _ = pair_coarse
+    reg = FastVGICP(max_iterations=2)
+    reg.set_debug_print(True)
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    reg.align()
+    out = capfd.readouterr()
+    assert "lm trial" in out.out + out.err
