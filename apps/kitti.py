@@ -6,9 +6,13 @@ kitti.py (src/kitti.py): loads %06d.bin scans, downsamples at 0.25 m, runs
 scan-to-scan registration, chains poses, reports FPS, writes the trajectory
 in KITTI 3x4 row-major format.
 
-Two modes:
+Three modes:
   --mode serial   reference-style loop with covariance reuse via swap
-  --mode batched  TPU-throughput mode: vmapped pair batches (default)
+  --mode stream   device-chained serial: every align enqueued with the
+                  previous delta as warm start, one sync at the end (default)
+  --mode batched  vmapped pair batches (best when many pairs converge in a
+                  similar number of iterations; a single straggler pair
+                  stalls the whole batch in the vmapped LM loop)
 
 Usage: python apps/kitti.py /path/to/sequences/00/velodyne [--limit N]
 """
@@ -27,8 +31,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("data_dir", help="directory of KITTI .bin scans")
     parser.add_argument("--limit", type=int, default=None)
-    parser.add_argument("--mode", choices=("serial", "batched"),
-                        default="batched")
+    parser.add_argument("--mode", choices=("serial", "stream", "batched"),
+                        default="stream")
     parser.add_argument("--downsample", type=float, default=0.25)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--resolution", type=float, default=1.0)
@@ -41,6 +45,7 @@ def main(argv=None):
         kitti_scan_paths,
         run_odometry,
         run_odometry_batched,
+        run_odometry_stream,
         save_poses_kitti,
     )
 
@@ -60,6 +65,12 @@ def main(argv=None):
                 print(f"frame {i}: fps={fps:.1f}", flush=True)
 
         poses = run_odometry(scans, reg, args.downsample, progress)
+    elif args.mode == "stream":
+        from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+
+        dims = auto_grid_dims(scans[0], args.resolution)
+        config = VGICPConfig(resolution=args.resolution, grid_dims=dims)
+        poses = run_odometry_stream(scans, args.downsample, config=config)
     else:
         config = VGICPConfig(resolution=args.resolution)
         poses = run_odometry_batched(

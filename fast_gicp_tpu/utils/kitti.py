@@ -127,6 +127,55 @@ def run_odometry_batched(
     return poses
 
 
+def run_odometry_stream(
+    scans: Iterable[np.ndarray],
+    downsample_resolution: float = 0.25,
+    covariance: str = "rbf",
+    config=None,
+    warm_start: bool = True,
+) -> List[np.ndarray]:
+    """Device-chained scan-to-scan odometry — the fastest serial mode.
+
+    Unlike `run_odometry` (which, like the reference loop kitti.cpp:115-128,
+    forces the pose to the host every frame), every frame's align is
+    ENQUEUED with the previous frame's still-on-device delta as its initial
+    guess (constant-velocity warm start; the reference always starts from
+    identity).  Nothing synchronizes until the end, so the host never sits
+    in the loop and the warm start cuts LM iterations ~3x.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vgicp import VGICPConfig, vgicp_align
+    from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
+    from .padding import bucket_size, pad_points
+
+    config = config or VGICPConfig()
+    clouds = [voxel_downsample(s, downsample_resolution) for s in scans]
+    if len(clouds) < 2:
+        return [np.eye(4)] * len(clouds)
+    bucket = max(bucket_size(len(c)) for c in clouds)
+    cov_fn = rbf_covariances_jit if covariance == "rbf" else knn_covariances_jit
+
+    delta = jnp.eye(4, dtype=jnp.float32)
+    prev = None  # (points, mask, covs) of the previous frame, on device
+    deltas = []
+    for cloud in clouds:
+        p, m = pad_points(cloud, bucket)
+        p, m = jnp.asarray(p), jnp.asarray(m)
+        c = cov_fn(p, m)
+        if prev is not None:
+            guess = delta if warm_start else jnp.eye(4, dtype=jnp.float32)
+            delta = vgicp_align(p, m, c, *prev, guess, config).transformation
+            deltas.append(delta)
+        prev = (p, m, c)
+
+    poses = [np.eye(4)]
+    for d in jax.device_get(deltas):  # single synchronization point
+        poses.append(poses[-1] @ np.asarray(d, np.float64))
+    return poses
+
+
 def kitti_scan_paths(directory: str, limit: Optional[int] = None):
     """Sorted %06d.bin scan paths under a KITTI velodyne directory."""
     import glob

@@ -84,3 +84,16 @@ def test_save_poses_kitti(tmp_path, synthetic_traj):
     lines = path.read_text().strip().split("\n")
     assert len(lines) == len(gt_poses)
     assert len(lines[0].split()) == 12
+
+
+def test_stream_odometry(synthetic_traj):
+    from fast_gicp_tpu.utils.kitti import run_odometry_stream
+
+    scans, gt_poses = synthetic_traj
+    cfg = VGICPConfig(
+        resolution=1.0, neighbor_search_method="direct7",
+        grid_dims=(64, 64, 32),
+    )
+    poses = run_odometry_stream(scans, downsample_resolution=0.2, config=cfg)
+    assert len(poses) == len(scans)
+    assert ate_rmse(gt_poses, poses) < 0.05
