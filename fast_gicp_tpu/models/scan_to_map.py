@@ -78,7 +78,9 @@ def _lookup(lut, coords):
     table_size = lut.shape[0]
     mask_t = jnp.uint32(table_size - 1)
     slot0 = (_hash_coords(coords) & mask_t).astype(jnp.int32)
-    found = jnp.sum(coords, axis=-1) * 0 - 1
+    # lut-seeded carry: keeps shard_map varying-axes types consistent when
+    # the lut is device-varying but the queries are replicated.
+    found = jnp.sum(coords, axis=-1) * 0 - 1 + lut[0, 0] * 0
 
     def body(p, found):
         slot = (slot0 + p) & jnp.int32(table_size - 1)

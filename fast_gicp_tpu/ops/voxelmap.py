@@ -407,7 +407,10 @@ def lookup_voxels_cols(vmap, cx, cy, cz):
         ^ (cz.astype(jnp.uint32) * _HP3)
     )
     slot0 = (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
-    found = cx * 0 - 1
+    # Seed the carry with a zero drawn from the lut so its shard_map
+    # varying-axes type matches the loop body (queries may be replicated
+    # while the lut is device-varying).
+    found = cx * 0 - 1 + vmap.lut[0, 0] * 0
 
     def body(p, found):
         slot = (slot0 + p) & jnp.int32(table_size - 1)

@@ -78,3 +78,30 @@ def test_scan_to_map_odometry_trajectory():
     assert len(odo.poses) == len(scans)
     err = ate_rmse(gt_poses, odo.poses)
     assert err < 0.05, f"scan-to-map ATE {err:.4f}"
+
+
+def test_sharded_scan_to_map_matches_single():
+    """8-device hash-sharded persistent map must reproduce the single-device
+    scan-to-map trajectory (ownership partitions voxels exactly)."""
+    import numpy as np
+
+    from fast_gicp_tpu.models.scan_to_map import ScanToMapConfig, ScanToMapOdometry
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import ShardedScanToMapOdometry
+
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+
+    scans, gt = _trajectory_scans(np.random.default_rng(5), n_frames=4)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+
+    single = ScanToMapOdometry(cfg, covariance="knn")
+    sharded = ShardedScanToMapOdometry(cfg, mesh=make_mesh(8), covariance="knn")
+    for s in scans:
+        p1 = single.process(s)
+        p8 = sharded.process(s)
+        np.testing.assert_allclose(p8, p1, atol=5e-3)
+
+    from fast_gicp_tpu.utils.kitti import ate_rmse
+
+    assert ate_rmse(gt, sharded.poses) < 0.05
