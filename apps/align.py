@@ -88,6 +88,10 @@ def main(argv=None):
         warm.set_input_target(target)
         warm.set_input_source(source)
         warm.align()
+        # also compile the swapped direction (used by the reuse protocol —
+        # auto grid dims differ per target cloud)
+        warm.swap_source_and_target()
+        warm.align()
 
         reg = make()
         t0 = time.perf_counter()

@@ -165,6 +165,50 @@ def vgicp_align(
 
 @partial(jax.jit, static_argnames=("config",))
 @f32_matmuls
+def vgicp_mahalanobis(
+    source, source_mask, source_covs, target, target_mask, target_covs,
+    pose, config: VGICPConfig = VGICPConfig(),
+):
+    """Per-correspondence Mahalanobis matrices at `pose` — the debug surface
+    of the reference's compute_mahalanobis (compute_mahalanobis.cu:10-72,
+    which dumps to /tmp/vgicp_cuda_mahalanobis.txt).  Returns
+    (M (K, 6, N) symmetric-6 columns, valid (K, N)); dump to disk yourself
+    if you want the reference's text file."""
+    vmap = build_voxelmap(
+        target,
+        target_mask,
+        config.resolution,
+        covs=target_covs,
+        mode=config.voxel_accumulation,
+        grid_dims=config.grid_dims,
+    )
+    offsets = jnp.asarray(
+        neighbor_offsets(
+            config.neighbor_search_method, config.neighbor_search_radius
+        )
+    )
+    x = pose.astype(source.dtype)
+    R = x[:3, :3]
+    P = soa.cols_from_points(source)
+    p_t = soa.transform_cols(x, P)
+    coords = jnp.floor(p_t / vmap.resolution - 0.5).astype(jnp.int32)
+    offs = offsets.T[:, :, None]
+    vids = lookup_voxels_cols(
+        vmap,
+        coords[0][None, :] + offs[0],
+        coords[1][None, :] + offs[1],
+        coords[2][None, :] + offs[2],
+    )
+    valid = (vids >= 0) & source_mask[None, :]
+    rows = vmap.packed[jnp.maximum(vids, 0)]
+    _mu, cov_B, _n = soa.sym_cols_from_packed(rows)
+    cov_rot = soa.rotate_sym_cols(R, soa.sym_cols_from_covs(source_covs))
+    M = soa.inv_sym_cols(cov_B + cov_rot[None]) * valid[:, None, :]
+    return M, valid
+
+
+@partial(jax.jit, static_argnames=("config",))
+@f32_matmuls
 def vgicp_evaluate(
     source, source_mask, source_covs, target, target_mask, target_covs,
     pose, config: VGICPConfig = VGICPConfig(),

@@ -54,6 +54,25 @@ def load_pcd(path: str) -> np.ndarray:
     return np.ascontiguousarray(xyz, dtype=np.float32)
 
 
+def save_pcd(path: str, points: np.ndarray, binary: bool = True) -> None:
+    """Write (N, 3) xyz to a .pcd file (the PCL-side output path the
+    reference gets for free from pcl::io; binary or ASCII)."""
+    pts = np.ascontiguousarray(np.asarray(points)[:, :3], dtype=np.float32)
+    n = len(pts)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
+        f"DATA {'binary' if binary else 'ascii'}\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        if binary:
+            f.write(pts.tobytes())
+        else:
+            np.savetxt(f, pts, fmt="%.9g")
+
+
 def load_kitti_bin(path: str) -> np.ndarray:
     """KITTI velodyne scan: float32 (x, y, z, intensity) records
     (kitti.cpp:40-64); returns (N, 3) float32 xyz."""

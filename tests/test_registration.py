@@ -169,3 +169,41 @@ def test_debug_print_smoke(pair_coarse, capfd):
     reg.align()
     out = capfd.readouterr()
     assert "lm trial" in out.out + out.err
+
+
+def test_vgicp_mahalanobis_debug(pair_coarse):
+    """compute_mahalanobis parity surface: SPD symmetric-6 matrices for
+    valid correspondences (compute_mahalanobis.cu:10-72)."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.vgicp import VGICPConfig, vgicp_mahalanobis
+    from fast_gicp_tpu.ops.covariance import knn_covariances
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    source, target, gt = pair_coarse
+    sp, sm = map(jnp.asarray, pad_points(source, 1024))
+    tp, tm = map(jnp.asarray, pad_points(target, 1024))
+    scovs = knn_covariances(sp, sm)
+    tcovs = knn_covariances(tp, tm)
+    M, valid = vgicp_mahalanobis(
+        sp, sm, scovs, tp, tm, tcovs, jnp.asarray(gt, jnp.float32),
+        VGICPConfig(),
+    )
+    M, valid = np.asarray(M), np.asarray(valid)
+    assert M.shape[0] == 1 and M.shape[1] == 6  # direct1: K=1, sym-6 rows
+    assert valid.any()
+    # diagonal entries of an SPD inverse are positive where valid
+    for d in (0, 3, 5):
+        assert (M[0, d][valid[0]] > 0).all()
+    assert (M[:, :, ~valid[0]] == 0).all()
+
+
+def test_save_pcd_roundtrip(tmp_path, rng):
+    from fast_gicp_tpu.utils.io import load_pcd, save_pcd
+
+    pts = rng.normal(size=(57, 3)).astype(np.float32)
+    for binary in (True, False):
+        p = tmp_path / f"out_{binary}.pcd"
+        save_pcd(str(p), pts, binary=binary)
+        back = load_pcd(str(p))
+        np.testing.assert_allclose(back, pts, atol=1e-6)
