@@ -43,6 +43,11 @@ from .models.vgicp import (
     vgicp_register,
 )
 from .models.ndt import NDT, NDTConfig, NDTCuda, ndt_align, ndt_evaluate
+from .models.pose_graph import (
+    PoseGraphConfig,
+    PoseGraphResult,
+    optimize_pose_graph,
+)
 from .models.metrics import fitness_score, pose_error
 
 __version__ = "0.1.0"
@@ -69,6 +74,9 @@ __all__ = [
     "NDTCuda",
     "ndt_align",
     "ndt_evaluate",
+    "PoseGraphConfig",
+    "PoseGraphResult",
+    "optimize_pose_graph",
     "fitness_score",
     "pose_error",
 ]

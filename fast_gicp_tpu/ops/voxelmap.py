@@ -127,7 +127,9 @@ def build_voxelmap(
 
     mode:
       * "additive" / "additive_weighted": voxel mean/cov = arithmetic mean of
-        member means/covs (fast_vgicp_voxel.hpp:105-122).
+        member means/covs (fast_vgicp_voxel.hpp:105-122; the reference
+        instantiates the SAME AdditiveGaussianVoxel for both enum values,
+        fast_vgicp_voxel.hpp:138-141, so these are exact aliases here too).
       * "multiplicative": information-form fusion — accumulate C_i^-1 and
         C_i^-1 mu_i, invert at finalize (fast_vgicp_voxel.hpp:79-103).
       * "raw": NDT-style — mean = E[x], cov = E[x x^T] - mu mu^T from raw

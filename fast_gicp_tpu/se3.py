@@ -121,6 +121,91 @@ def se3_exp(xi):
     return make_transform(R, t)
 
 
+def so3_log(R):
+    """Logarithm map SO(3) -> so(3) (rotation vector); batched.
+
+    Inverse of `so3_exp` for theta in [0, pi).  Uses the antisymmetric part
+    with a Taylor-guarded theta/sin(theta) factor; near theta = pi the
+    antisymmetric part vanishes, so that branch recovers the axis from the
+    symmetric part (R + I columns).
+    """
+    R = jnp.asarray(R)
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    # lower clip 1e-7 inside -1: keeps arccos' gradient finite at theta = pi
+    # (value error ~5e-4 there, below the f32 arccos conditioning anyway)
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0)
+    v = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    # Differentiability: every branch input is sanitized with a dummy value
+    # before the non-smooth op (arccos at 1, theta/sin at 0), or jacfwd/grad
+    # through the UNTAKEN branch poisons the result with NaNs.
+    small = cos_t > 1.0 - 5e-7  # theta < ~1e-3
+    cos_safe = jnp.where(small, 0.0, cos_t)
+    theta = jnp.where(small, 0.0, jnp.arccos(cos_safe))
+    sin_t = jnp.sin(theta)
+    # small branch: theta^2 ~ 2(1 - cos) = 3 - trace, a smooth function of R;
+    # factor = 0.5 * theta/sin(theta) = 0.5 + theta^2/12 + O(theta^4)
+    ts_small = jnp.maximum(3.0 - trace, 0.0)
+    sin_safe = jnp.where(jnp.abs(sin_t) < 1e-10, 1.0, sin_t)
+    factor = jnp.where(
+        small, 0.5 + ts_small / 12.0, theta / (2.0 * sin_safe)
+    )
+    omega_main = v * factor[..., None]
+    # theta ~ pi branch: the SYMMETRIC part (R + R^T)/2 - cos(theta) I
+    # equals (1 - cos) a a^T exactly, free of the vanishing antisymmetric
+    # term; its largest column is +-a scaled.
+    S = 0.5 * (R + jnp.swapaxes(R, -1, -2)) - cos_t[..., None, None] * jnp.eye(
+        3, dtype=R.dtype
+    )
+    col = jnp.argmax(
+        jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], axis=-1),
+        axis=-1,
+    )
+    axis_raw = jnp.take_along_axis(S, col[..., None, None], axis=-1)[..., 0]
+    nrm_sq = jnp.sum(axis_raw * axis_raw, axis=-1, keepdims=True)
+    # sanitize before sqrt: at identity S = 0 and sqrt'(0) = inf would leak
+    # NaNs through jacfwd even though this branch is untaken there
+    nrm = jnp.sqrt(jnp.where(nrm_sq < 1e-24, 1.0, nrm_sq))
+    axis = axis_raw / nrm
+    # fix sign so axis agrees with the (possibly tiny) antisymmetric part
+    sign = jnp.where(jnp.sum(axis * v, axis=-1, keepdims=True) < 0, -1.0, 1.0)
+    omega_pi = axis * sign * theta[..., None]
+    near_pi = theta > 3.0
+    return jnp.where(near_pi[..., None], omega_pi, omega_main)
+
+
+def se3_log(T):
+    """Logarithm map SE(3) -> se(3), rotation-first twist [omega, rho];
+    inverse of `se3_exp`: rho = V^-1 t with the closed-form V inverse
+    V^-1 = I - W/2 + (1/theta^2 - (1+cos)/(2 theta sin)) W^2."""
+    T = jnp.asarray(T)
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    omega = so3_log(R)
+    theta_sq = jnp.sum(omega * omega, axis=-1)
+    small = theta_sq < _SMALL_ANGLE_SQ
+    # double-where: the exact-branch expressions must see safe inputs or
+    # their NaN derivatives at theta = 0 leak through jacfwd.
+    ts_safe = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(ts_safe)
+    W = skew(omega)
+    W_sq = W @ W
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    sin_safe = jnp.where(jnp.abs(sin_t) < 1e-10, 1.0, sin_t)
+    coef_exact = 1.0 / ts_safe - (1.0 + cos_t) / (2.0 * theta * sin_safe)
+    coef = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0, coef_exact)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
+    V_inv = eye - 0.5 * W + coef[..., None, None] * W_sq
+    rho = jnp.einsum("...ij,...j->...i", V_inv, t)
+    return jnp.concatenate([omega, rho], axis=-1)
+
+
 def make_transform(R, t):
     """Assemble a 4x4 homogeneous transform from R (.., 3, 3) and t (.., 3)."""
     R = jnp.asarray(R)

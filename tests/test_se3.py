@@ -62,3 +62,38 @@ def test_rotation_angle(rng):
     omega = np.array([0.0, 0.0, 0.7], dtype=np.float32)
     R = se3.so3_exp(jnp.asarray(omega))
     assert abs(float(se3.rotation_angle(R)) - 0.7) < 1e-5
+
+
+def test_so3_log_roundtrip(rng):
+    from fast_gicp_tpu.se3 import so3_exp, so3_log
+
+    # random angles incl. tiny, moderate, near-pi
+    axes = rng.normal(size=(64, 3)).astype(np.float32)
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    thetas = np.concatenate(
+        [rng.uniform(1e-5, 3.0, 60), [1e-8, 3.1, 3.14, np.pi - 1e-4]]
+    ).astype(np.float32)
+    omega = axes * thetas[:, None]
+    R = so3_exp(jnp.asarray(omega))
+    back = np.asarray(so3_log(R))
+    # compare rotations (axis sign ambiguity at pi): exp(back) == R.
+    # f32 arccos near theta = pi is conditioned at sqrt(eps) ~ 7e-4; that
+    # bound is intrinsic, not an implementation artifact.
+    R2 = np.asarray(so3_exp(jnp.asarray(back)))
+    np.testing.assert_allclose(R2, np.asarray(R), atol=1e-3)
+    moderate = thetas < 2.8
+    np.testing.assert_allclose(R2[moderate], np.asarray(R)[moderate], atol=2e-5)
+
+
+def test_se3_log_roundtrip(rng):
+    from fast_gicp_tpu.se3 import se3_exp, se3_log
+
+    xi = rng.normal(size=(32, 6)).astype(np.float32)
+    xi[:, :3] *= 0.8  # keep rotations well inside (0, pi)
+    T = se3_exp(jnp.asarray(xi))
+    back = np.asarray(se3_log(T))
+    np.testing.assert_allclose(back, xi, rtol=1e-4, atol=1e-5)
+    # and tiny twists
+    xi2 = (rng.normal(size=(8, 6)) * 1e-7).astype(np.float32)
+    back2 = np.asarray(se3_log(se3_exp(jnp.asarray(xi2))))
+    np.testing.assert_allclose(back2, xi2, atol=1e-9)
