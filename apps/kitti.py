@@ -37,6 +37,9 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--resolution", type=float, default=1.0)
     parser.add_argument("--out", default="/tmp/traj.txt")
+    parser.add_argument("--plot", default=None, metavar="PNG",
+                        help="save a top-down trajectory plot (matplotlib), "
+                             "like the reference kitti.py viewer")
     args = parser.parse_args(argv)
 
     from fast_gicp_tpu.models.vgicp import FastVGICP, VGICPConfig
@@ -81,6 +84,22 @@ def main(argv=None):
           f"(incl. I/O and downsampling)", flush=True)
     save_poses_kitti(args.out, poses)
     print(f"trajectory written to {args.out}")
+    if args.plot:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            print("matplotlib not available; skipping plot", file=sys.stderr)
+            return 0
+        import numpy as np
+        xy = np.asarray([[T[0, 3], T[1, 3]] for T in poses])
+        plt.figure(figsize=(6, 6))
+        plt.plot(xy[:, 0], xy[:, 1], lw=1)
+        plt.axis("equal"); plt.grid(True, alpha=0.3)
+        plt.title(f"trajectory ({len(poses)} frames)")
+        plt.savefig(args.plot, dpi=120, bbox_inches="tight")
+        print(f"plot written to {args.plot}")
     return 0
 
 
