@@ -38,6 +38,59 @@ class Cloud:
     host_points: Optional[np.ndarray] = None  # (M, 3) f32 (native paths)
 
 
+def estimate_covariances(
+    cloud: "Cloud",
+    method: str,
+    k: int,
+    regularization: str,
+    kernel_width: float = 0.5,
+    kernel_max_dist: float = 3.0,
+) -> None:
+    """Populate cloud.covs via the selected estimator (lazily, cached).
+
+    The selector mirrors the CUDA variant's NearestNeighborMethod
+    (fast_vgicp_cuda.hpp:21): "knn" = on-device brute force
+    (GPU_BRUTEFORCE), "rbf" = GPU_RBF_KERNEL (fastest), "kdtree" =
+    CPU_PARALLEL_KDTREE (native host kd-tree feeding the device).
+    """
+    if cloud.covs is not None:
+        return
+    from ..ops.covariance import (
+        covariances_from_neighbors_jit,
+        knn_covariances_jit,
+        rbf_covariances_jit,
+    )
+
+    if method == "kdtree":
+        from .. import native
+
+        # Tree over the real points only (padding sits at the origin and
+        # must not pollute neighborhoods); padded queries yield garbage
+        # covariances that downstream masks drop.
+        idx, _ = native.knn_search(
+            cloud.host_points[: cloud.size], cloud.host_points, k
+        )
+        cloud.covs = covariances_from_neighbors_jit(
+            cloud.points, jnp.asarray(idx), method=regularization
+        )
+    elif method == "rbf":
+        cloud.covs = rbf_covariances_jit(
+            cloud.points,
+            cloud.mask,
+            kernel_width=kernel_width,
+            max_dist=kernel_max_dist,
+            method=regularization,
+        )
+    elif method == "knn":
+        cloud.covs = knn_covariances_jit(
+            cloud.points, cloud.mask, k=k, method=regularization
+        )
+    else:
+        raise ValueError(
+            "covariance estimation must be 'knn', 'rbf', or 'kdtree'"
+        )
+
+
 @dataclass
 class Registration:
     """Base registration driver; subclasses implement `_compute`.

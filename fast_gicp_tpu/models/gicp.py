@@ -24,11 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import soa
-from ..ops.covariance import knn_covariances_jit
 from ..ops.neighbors import nn_search
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
-from .base import Cloud, Registration
+from .base import Cloud, Registration, estimate_covariances
 
 
 class GICPConfig(NamedTuple):
@@ -156,6 +155,9 @@ class FastGICP(Registration):
 
     k_correspondences: int = 20
     regularization: str = "plane"
+    covariance_estimation: str = "knn"  # "knn" | "rbf" | "kdtree"
+    kernel_width: float = 0.5
+    kernel_max_dist: float = 3.0
 
     def set_num_threads(self, n: int) -> None:  # API parity no-op
         del n
@@ -166,14 +168,31 @@ class FastGICP(Registration):
     def set_regularization_method(self, method: str) -> None:
         self.regularization = method
 
-    def _ensure_covariances(self, cloud: Cloud) -> None:
-        if cloud.covs is None:
-            cloud.covs = knn_covariances_jit(
-                cloud.points,
-                cloud.mask,
-                k=self.k_correspondences,
-                method=self.regularization,
+    def set_nearest_neighbor_method(self, method: str) -> None:
+        # Superset of the reference: the CUDA covariance selector
+        # (fast_vgicp_cuda.hpp:21) offered on plain GICP too — "rbf" makes
+        # covariance estimation a fused MXU kernel instead of exact kNN.
+        if method not in ("knn", "rbf", "kdtree"):
+            raise ValueError(
+                "covariance estimation must be 'knn', 'rbf', or 'kdtree'"
             )
+        self.covariance_estimation = method
+
+    def set_kernel_params(self, width: float, max_dist: float = None) -> None:
+        self.kernel_width = float(width)
+        self.kernel_max_dist = (
+            float(max_dist) if max_dist is not None else 5.0 * float(width)
+        )
+
+    def _ensure_covariances(self, cloud: Cloud) -> None:
+        estimate_covariances(
+            cloud,
+            self.covariance_estimation,
+            self.k_correspondences,
+            self.regularization,
+            kernel_width=self.kernel_width,
+            kernel_max_dist=self.kernel_max_dist,
+        )
 
     def _config(self) -> GICPConfig:
         return GICPConfig(

@@ -268,17 +268,20 @@ class ScanToMapOdometry:
 
     Per frame: constant-velocity guess -> align_to_map -> fuse the scan into
     the map at the estimated pose.  The first frame initializes the map.
+
+    Fully device-chained: the pose, the constant-velocity guess, and the map
+    update all consume the previous frame's still-on-device results, so the
+    host never blocks inside the loop — read `poses` (or the `process`
+    return value, an np.ndarray) to synchronize.
     """
 
     def __init__(self, config: ScanToMapConfig = ScanToMapConfig(),
                  covariance: str = "rbf"):
-        import numpy as np
-
         self.config = config
         self.covariance = covariance
         self.state = empty_map(config.capacity, config.resolution)
-        self.poses = []
-        self._last_delta = np.eye(4, dtype=np.float64)
+        self._poses_dev = []  # device-side (4, 4) f32 pose chain
+        self._last_delta = jnp.eye(4, dtype=jnp.float32)
 
     def _covs(self, points, mask):
         from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
@@ -287,8 +290,19 @@ class ScanToMapOdometry:
             return rbf_covariances_jit(points, mask)
         return knn_covariances_jit(points, mask)
 
-    def process(self, scan) -> "np.ndarray":
-        """Feed one (N, 3) scan; returns the estimated world pose (4x4)."""
+    @property
+    def poses(self):
+        """Synchronize and return the pose chain as float64 ndarrays."""
+        import numpy as np
+
+        return [
+            np.asarray(p, dtype=np.float64)
+            for p in jax.device_get(self._poses_dev)
+        ]
+
+    def process_async(self, scan):
+        """Feed one (N, 3) scan; returns the pose as a DEVICE array without
+        synchronizing (pipelines across frames)."""
         import numpy as np
 
         from ..utils.padding import pad_points
@@ -298,25 +312,26 @@ class ScanToMapOdometry:
         mask = jnp.asarray(mask_np)
         covs = self._covs(pts, mask)
 
-        if not self.poses:
-            pose = np.eye(4, dtype=np.float64)
+        if not self._poses_dev:
+            pose = jnp.eye(4, dtype=jnp.float32)
         else:
-            guess = jnp.asarray(
-                (self.poses[-1] @ self._last_delta).astype(np.float32)
-            )
+            prev = self._poses_dev[-1]
+            guess = prev @ self._last_delta
             result = align_to_map(
                 self.state, pts, mask, covs, guess, self.config
             )
-            pose = np.asarray(result.transformation, dtype=np.float64)
-            self._last_delta = np.linalg.inv(self.poses[-1]) @ pose
+            pose = result.transformation
+            self._last_delta = se3.invert_transform(prev) @ pose
 
-        T = jnp.asarray(pose.astype(np.float32))
-        R = T[:3, :3]
-        world_pts = se3.transform_points(T, pts)
-        world_covs = jnp.einsum(
-            "ij,njk,lk->nil", R, covs, R,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        world_pts = se3.transform_points(pose, pts)
+        world_covs = se3.rotate_covs(pose[:3, :3], covs)
         self.state = update_map(self.state, world_pts, world_covs, mask)
-        self.poses.append(pose)
+        self._poses_dev.append(pose)
         return pose
+
+    def process(self, scan) -> "np.ndarray":
+        """Feed one (N, 3) scan; returns the estimated world pose (4x4)
+        as a synchronized float64 ndarray."""
+        import numpy as np
+
+        return np.asarray(self.process_async(scan), dtype=np.float64)

@@ -29,11 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import soa
-from ..ops.covariance import (
-    covariances_from_neighbors_jit,
-    knn_covariances_jit,
-    rbf_covariances_jit,
-)
 from ..ops.voxelmap import (
     auto_grid_dims,
     build_voxelmap,
@@ -42,7 +37,7 @@ from ..ops.voxelmap import (
 )
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
-from .base import Cloud, Registration
+from .base import Cloud, Registration, estimate_covariances
 from .gicp import GICPConfig
 
 
@@ -326,37 +321,14 @@ class FastVGICP(Registration):
         )
 
     def _ensure_covariances(self, cloud: Cloud) -> None:
-        if cloud.covs is not None:
-            return
-        if self.covariance_estimation == "kdtree":
-            from .. import native
-
-            # Tree over the real points only (padding sits at the origin and
-            # must not pollute neighborhoods); padded queries yield garbage
-            # covariances that downstream masks drop.
-            idx, _ = native.knn_search(
-                cloud.host_points[: cloud.size],
-                cloud.host_points,
-                self.k_correspondences,
-            )
-            cloud.covs = covariances_from_neighbors_jit(
-                cloud.points, jnp.asarray(idx), method=self.regularization
-            )
-        elif self.covariance_estimation == "rbf":
-            cloud.covs = rbf_covariances_jit(
-                cloud.points,
-                cloud.mask,
-                kernel_width=self.kernel_width,
-                max_dist=self.kernel_max_dist,
-                method=self.regularization,
-            )
-        else:
-            cloud.covs = knn_covariances_jit(
-                cloud.points,
-                cloud.mask,
-                k=self.k_correspondences,
-                method=self.regularization,
-            )
+        estimate_covariances(
+            cloud,
+            self.covariance_estimation,
+            self.k_correspondences,
+            self.regularization,
+            kernel_width=self.kernel_width,
+            kernel_max_dist=self.kernel_max_dist,
+        )
 
     def set_grid_dims(self, dims) -> None:
         self.grid_dims = tuple(dims) if dims not in (None, "auto") else dims

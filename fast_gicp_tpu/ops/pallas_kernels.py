@@ -24,8 +24,8 @@ Performance notes (measured on TPU v5e, 16k points):
     statistical noise of kernel density estimation, and end-to-end
     registration error on the bundled reference pair is unchanged (in fact
     slightly better than the chunked-XLA f32 path).
-  * Tile sizes by sweep: 512x1024 for the argmin-heavy NN kernel,
-    1024x2048 for the matmul-heavy RBF kernel.
+  * Tile sizes by sweep: 512x2048 for the NN kernel, 1024x2048 for the
+    RBF kernel (2048x2048 exceeds the 16M scoped-vmem stack limit).
   * A symmetric variant (each (i, j) tile feeding both out rows i and j)
     was measured SLOWER despite halving the FLOPs — the kernels are bound
     by per-step grid overhead, not compute.
@@ -53,7 +53,7 @@ from .neighbors import MASK_COORD
 # the NN kernel (argmin-heavy) prefers smaller tiles than the RBF kernel
 # (matmul-heavy).
 _QT = 512
-_TT = 1024
+_TT = 2048
 _RQT = 1024
 _RTT = 2048
 

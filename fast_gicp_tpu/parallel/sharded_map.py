@@ -175,8 +175,8 @@ class ShardedScanToMapOdometry:
         d = self.mesh.shape[self.mesh.axis_names[0]]
         cap_local = max(1, config.capacity // d)
         self.state = empty_sharded_map(self.mesh, cap_local, config.resolution)
-        self.poses = []
-        self._last_delta = np.eye(4, dtype=np.float64)
+        self._poses_dev = []
+        self._last_delta = jnp.eye(4, dtype=jnp.float32)
 
     def _covs(self, points, mask):
         from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
@@ -185,7 +185,15 @@ class ShardedScanToMapOdometry:
             return rbf_covariances_jit(points, mask)
         return knn_covariances_jit(points, mask)
 
-    def process(self, scan) -> np.ndarray:
+    @property
+    def poses(self):
+        return [
+            np.asarray(p, dtype=np.float64)
+            for p in jax.device_get(self._poses_dev)
+        ]
+
+    def process_async(self, scan):
+        """Feed one scan; returns the pose as a device array (no sync)."""
         from .. import se3
         from ..utils.padding import pad_points
 
@@ -194,23 +202,24 @@ class ShardedScanToMapOdometry:
         mask = jnp.asarray(mask_np)
         covs = self._covs(pts, mask)
 
-        if not self.poses:
-            pose = np.eye(4, dtype=np.float64)
+        if not self._poses_dev:
+            pose = jnp.eye(4, dtype=jnp.float32)
         else:
-            guess = jnp.asarray(
-                (self.poses[-1] @ self._last_delta).astype(np.float32)
-            )
+            prev = self._poses_dev[-1]
+            guess = prev @ self._last_delta
             result = align_to_sharded_map(
                 self.mesh, self.state, pts, mask, covs, guess, self.config
             )
-            pose = np.asarray(result.transformation, dtype=np.float64)
-            self._last_delta = np.linalg.inv(self.poses[-1]) @ pose
+            pose = result.transformation
+            self._last_delta = se3.invert_transform(prev) @ pose
 
-        T = jnp.asarray(pose.astype(np.float32))
-        world_pts = se3.transform_points(T, pts)
-        world_covs = se3.rotate_covs(T[:3, :3], covs)
+        world_pts = se3.transform_points(pose, pts)
+        world_covs = se3.rotate_covs(pose[:3, :3], covs)
         self.state = update_sharded_map(
             self.mesh, self.state, world_pts, world_covs, mask
         )
-        self.poses.append(pose)
+        self._poses_dev.append(pose)
         return pose
+
+    def process(self, scan) -> np.ndarray:
+        return np.asarray(self.process_async(scan), dtype=np.float64)
