@@ -432,6 +432,25 @@ def gather_voxel_stats(vmap: VoxelMap, vids):
     return means, covs, counts
 
 
+def device_downsample(points, mask, resolution, out_capacity: int, grid_dims):
+    """Voxel-grid downsample ON DEVICE: centroid per occupied cell,
+    compacted to a fixed-size (out_capacity, 3) cloud + mask.
+
+    The host-side numpy/PCL-equivalent downsample costs ~25 ms per 120k-pt
+    scan and serializes the odometry pipeline; this runs as part of the
+    jitted per-frame graph (sortless grid build in "raw" mode + one
+    static-size nonzero compaction) and pipelines with everything else.
+    """
+    vm = _build_grid_voxelmap(points, mask, resolution, None, "raw", grid_dims)
+    live = vm.counts > 0
+    (idx,) = jnp.nonzero(live, size=out_capacity, fill_value=0)
+    valid = jnp.arange(out_capacity, dtype=jnp.int32) < jnp.sum(
+        live.astype(jnp.int32)
+    )
+    pts = vm.means[idx] * valid[:, None]
+    return pts, valid
+
+
 def auto_grid_dims(
     points,
     resolution: float,

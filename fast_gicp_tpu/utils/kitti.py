@@ -133,6 +133,7 @@ def run_odometry_stream(
     covariance: str = "rbf",
     config=None,
     warm_start: bool = True,
+    on_device_downsample: bool | None = None,
 ) -> List[np.ndarray]:
     """Device-chained scan-to-scan odometry — the fastest serial mode.
 
@@ -142,27 +143,76 @@ def run_odometry_stream(
     guess (constant-velocity warm start; the reference always starts from
     identity).  Nothing synchronizes until the end, so the host never sits
     in the loop and the warm start cuts LM iterations ~3x.
+
+    on_device_downsample: run the voxel downsample on the TPU as part of
+    the per-frame graph (None = auto: on for the TPU backend).
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from ..models.vgicp import VGICPConfig, vgicp_align
     from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
+    from ..ops.voxelmap import auto_grid_dims, device_downsample
     from .padding import bucket_size, pad_points
 
     config = config or VGICPConfig()
-    clouds = [voxel_downsample(s, downsample_resolution) for s in scans]
-    if len(clouds) < 2:
-        return [np.eye(4)] * len(clouds)
-    bucket = max(bucket_size(len(c)) for c in clouds)
+    scans = list(scans)
+    if len(scans) < 2:
+        return [np.eye(4)] * len(scans)
     cov_fn = rbf_covariances_jit if covariance == "rbf" else knn_covariances_jit
+
+    if on_device_downsample is None:
+        # Default off: host numpy downsampling overlaps with device work and
+        # the N^2 covariance stage dominates at large point counts anyway.
+        # Turn on when the host is the measured bottleneck (e.g. several
+        # odometry streams sharing one CPU).
+        on_device_downsample = False
+    ds_dims = (
+        auto_grid_dims(scans[0], downsample_resolution)
+        if on_device_downsample
+        else None
+    )
+    if ds_dims is not None:
+        # Device path: raw scans ship to the TPU; the voxel downsample runs
+        # inside the per-frame graph (host numpy downsampling costs ~25 ms
+        # per 120k-pt scan and would serialize the whole pipeline).
+        raw_bucket = max(bucket_size(len(s)) for s in scans)
+        # Size the compacted-cloud bucket from frame 0 (+15% headroom —
+        # oversizing inflates the N^2 covariance stage a whole bucket tier;
+        # frames that overflow the bucket lose their tail voxels).
+        out_cap = bucket_size(
+            int(len(voxel_downsample(scans[0], downsample_resolution)) * 1.15)
+        )
+        ds_jit = jax.jit(
+            functools.partial(
+                device_downsample,
+                resolution=downsample_resolution,
+                out_capacity=out_cap,
+                grid_dims=ds_dims,
+            )
+        )
+
+        def frame(scan):
+            p, m = pad_points(scan, raw_bucket)
+            return ds_jit(jnp.asarray(p), jnp.asarray(m))
+
+    else:
+        clouds = [voxel_downsample(s, downsample_resolution) for s in scans]
+        bucket = max(bucket_size(len(c)) for c in clouds)
+
+        def frame(scan_idx_cloud):
+            p, m = pad_points(scan_idx_cloud, bucket)
+            return jnp.asarray(p), jnp.asarray(m)
+
+        scans = clouds
 
     delta = jnp.eye(4, dtype=jnp.float32)
     prev = None  # (points, mask, covs) of the previous frame, on device
     deltas = []
-    for cloud in clouds:
-        p, m = pad_points(cloud, bucket)
-        p, m = jnp.asarray(p), jnp.asarray(m)
+    for scan in scans:
+        p, m = frame(scan)
         c = cov_fn(p, m)
         if prev is not None:
             guess = delta if warm_start else jnp.eye(4, dtype=jnp.float32)

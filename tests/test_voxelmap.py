@@ -205,3 +205,26 @@ def test_vgicp_grid_matches_hash_alignment(rng):
         np.asarray(r_grid.transformation),
         atol=1e-5,
     )
+
+
+def test_device_downsample_matches_reference(rng):
+    """Device downsample = centroid per occupied voxel, using the map's
+    floor(x/res - 0.5) binning (a half-cell shift vs the host PCL-style
+    downsampler; both are valid voxel grids)."""
+    from fast_gicp_tpu.ops.voxelmap import device_downsample
+
+    res = 0.7
+    pts = (rng.uniform(size=(700, 3)) * 20 - 10).astype(np.float32)
+    padded = np.zeros((768, 3), np.float32)
+    padded[:700] = pts
+    mask = np.zeros(768, bool)
+    mask[:700] = True
+    got, valid = device_downsample(
+        jnp.asarray(padded), jnp.asarray(mask), res, 768, (48, 48, 48)
+    )
+    got = np.asarray(got)[np.asarray(valid)]
+    ref = _ref_voxels(pts, res)  # dict reference with the map convention
+    assert len(got) == len(ref)
+    centroids = np.stack([pts[m].mean(0) for m in ref.values()])
+    key = lambda a: a[np.lexsort(np.round(a.T, 4))]
+    np.testing.assert_allclose(key(got), key(centroids), atol=1e-4)
