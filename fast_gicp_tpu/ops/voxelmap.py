@@ -438,17 +438,47 @@ def device_downsample(points, mask, resolution, out_capacity: int, grid_dims):
 
     The host-side numpy/PCL-equivalent downsample costs ~25 ms per 120k-pt
     scan and serializes the odometry pipeline; this runs as part of the
-    jitted per-frame graph (sortless grid build in "raw" mode + one
-    static-size nonzero compaction) and pipelines with everything else.
+    jitted per-frame graph (a slim count+sum variant of the sortless grid
+    build — no covariance columns — plus one static-size nonzero
+    compaction) and pipelines with everything else.
+
+    Returns (points (out_capacity, 3), valid (out_capacity,), n_live ()).
+    If the cloud has more occupied voxels than `out_capacity`, the excess
+    (highest representative index, i.e. latest in scan order) is dropped —
+    check ``n_live > out_capacity`` at sync time to detect it.
     """
-    vm = _build_grid_voxelmap(points, mask, resolution, None, "raw", grid_dims)
-    live = vm.counts > 0
-    (idx,) = jnp.nonzero(live, size=out_capacity, fill_value=0)
-    valid = jnp.arange(out_capacity, dtype=jnp.int32) < jnp.sum(
-        live.astype(jnp.int32)
+    n = points.shape[0]
+    dtype = points.dtype
+    gx, gy, gz = grid_dims
+    ncells = gx * gy * gz
+
+    coords = voxel_coord(points, resolution)
+    origin = jnp.min(jnp.where(mask[:, None], coords, _COORD_SENTINEL), axis=0)
+    rel = coords - origin
+    dims = jnp.asarray([gx, gy, gz], jnp.int32)
+    inside = mask & jnp.all((rel >= 0) & (rel < dims), axis=-1)
+    flat = (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2]
+    flat = jnp.where(inside, flat, ncells)
+
+    point_idx = jnp.arange(n, dtype=jnp.int32)
+    claim = jnp.full(ncells + 1, n, jnp.int32).at[flat].min(point_idx)
+    rep = claim[flat]
+    vid = jnp.where(inside, rep, n)
+    contrib = jnp.concatenate(
+        [jnp.ones((n, 1), dtype), points], axis=1
+    ) * inside.astype(dtype)[:, None]
+    acc = (jnp.zeros((n + 1, 4), dtype).at[vid].add(contrib))[:n]
+    counts = acc[:, 0]
+    means = acc[:, 1:4] / jnp.maximum(counts, 1.0)[:, None]
+
+    live = counts > 0
+    n_live = jnp.sum(live.astype(jnp.int32))
+    (idx,) = jnp.nonzero(live, size=out_capacity, fill_value=n - 1)
+    valid = jnp.arange(out_capacity, dtype=jnp.int32) < jnp.minimum(
+        n_live, out_capacity
     )
-    pts = vm.means[idx] * valid[:, None]
-    return pts, valid
+    pts = means[idx] * valid[:, None]
+    return pts, valid, n_live
 
 
 def auto_grid_dims(
@@ -466,6 +496,8 @@ def auto_grid_dims(
     """
     import numpy as np
 
+    if resolution is None or resolution <= 0:
+        return None  # "no downsampling" convention (python/main.cpp:70-76)
     pts = np.asarray(points)
     if pts.size == 0:
         return None

@@ -144,10 +144,15 @@ def run_odometry_stream(
     identity).  Nothing synchronizes until the end, so the host never sits
     in the loop and the warm start cuts LM iterations ~3x.
 
-    on_device_downsample: run the voxel downsample on the TPU as part of
-    the per-frame graph (None = auto: on for the TPU backend).
+    on_device_downsample: True runs the voxel downsample on the device as
+    part of the per-frame graph (raises if the scene is too large for a
+    dense grid); False/None (default) downsamples on the host — measured
+    faster unless the host CPU is the bottleneck (the numpy downsample
+    overlaps with device work, and the N^2 covariance stage dominates at
+    large point counts anyway).
     """
     import functools
+    import warnings
 
     import jax
     import jax.numpy as jnp
@@ -158,32 +163,39 @@ def run_odometry_stream(
     from .padding import bucket_size, pad_points
 
     config = config or VGICPConfig()
-    scans = list(scans)
-    if len(scans) < 2:
-        return [np.eye(4)] * len(scans)
     cov_fn = rbf_covariances_jit if covariance == "rbf" else knn_covariances_jit
 
-    if on_device_downsample is None:
-        # Default off: host numpy downsampling overlaps with device work and
-        # the N^2 covariance stage dominates at large point counts anyway.
-        # Turn on when the host is the measured bottleneck (e.g. several
-        # odometry streams sharing one CPU).
-        on_device_downsample = False
-    ds_dims = (
-        auto_grid_dims(scans[0], downsample_resolution)
-        if on_device_downsample
-        else None
-    )
-    if ds_dims is not None:
-        # Device path: raw scans ship to the TPU; the voxel downsample runs
-        # inside the per-frame graph (host numpy downsampling costs ~25 ms
-        # per 120k-pt scan and would serialize the whole pipeline).
+    live_counts = []
+    out_cap = None
+    if on_device_downsample:
+        # Device path needs every raw scan up front (bucket/grid sizing).
+        scans = list(scans)
+        if len(scans) < 2:
+            return [np.eye(4)] * len(scans)
+        # Grid sized over a front/middle/back sample of frames (+ the
+        # auto margin), so a sequence that opens up later doesn't get
+        # clipped to frame 0's extent (scans are sensor-frame, so extent
+        # tracks sensor range, not travel).
+        sample = np.concatenate(
+            [scans[0], scans[len(scans) // 2], scans[-1]]
+        )
+        ds_dims = auto_grid_dims(sample, downsample_resolution)
+        if ds_dims is None:
+            raise ValueError(
+                "on_device_downsample=True but the scene extent / resolution "
+                "does not fit a dense grid; use the host downsample"
+            )
         raw_bucket = max(bucket_size(len(s)) for s in scans)
-        # Size the compacted-cloud bucket from frame 0 (+15% headroom —
-        # oversizing inflates the N^2 covariance stage a whole bucket tier;
-        # frames that overflow the bucket lose their tail voxels).
+        # Size the compacted-cloud bucket from the sampled frames (+15%
+        # headroom — oversizing inflates the N^2 covariance stage a whole
+        # padding tier; overflow detection below).
         out_cap = bucket_size(
-            int(len(voxel_downsample(scans[0], downsample_resolution)) * 1.15)
+            max(
+                len(voxel_downsample(s, downsample_resolution))
+                for s in (scans[0], scans[len(scans) // 2], scans[-1])
+            )
+            * 115
+            // 100
         )
         ds_jit = jax.jit(
             functools.partial(
@@ -194,25 +206,30 @@ def run_odometry_stream(
             )
         )
 
-        def frame(scan):
-            p, m = pad_points(scan, raw_bucket)
-            return ds_jit(jnp.asarray(p), jnp.asarray(m))
+        def frames():
+            for scan in scans:
+                p, m = pad_points(scan, raw_bucket)
+                pts, msk, n_live = ds_jit(jnp.asarray(p), jnp.asarray(m))
+                live_counts.append(n_live)
+                yield pts, msk
 
     else:
+        # Host path: consume the input lazily (one raw scan in memory at a
+        # time); only the small downsampled clouds are retained.
         clouds = [voxel_downsample(s, downsample_resolution) for s in scans]
+        if len(clouds) < 2:
+            return [np.eye(4)] * len(clouds)
         bucket = max(bucket_size(len(c)) for c in clouds)
 
-        def frame(scan_idx_cloud):
-            p, m = pad_points(scan_idx_cloud, bucket)
-            return jnp.asarray(p), jnp.asarray(m)
-
-        scans = clouds
+        def frames():
+            for cloud in clouds:
+                p, m = pad_points(cloud, bucket)
+                yield jnp.asarray(p), jnp.asarray(m)
 
     delta = jnp.eye(4, dtype=jnp.float32)
     prev = None  # (points, mask, covs) of the previous frame, on device
     deltas = []
-    for scan in scans:
-        p, m = frame(scan)
+    for p, m in frames():
         c = cov_fn(p, m)
         if prev is not None:
             guess = delta if warm_start else jnp.eye(4, dtype=jnp.float32)
@@ -223,6 +240,13 @@ def run_odometry_stream(
     poses = [np.eye(4)]
     for d in jax.device_get(deltas):  # single synchronization point
         poses.append(poses[-1] @ np.asarray(d, np.float64))
+    if live_counts:
+        overflow = int(max(jax.device_get(live_counts)))
+        if overflow > out_cap:
+            warnings.warn(
+                f"device downsample overflowed its {out_cap}-voxel bucket "
+                f"(max {overflow} occupied voxels); tail voxels were dropped"
+            )
     return poses
 
 

@@ -97,3 +97,34 @@ def test_stream_odometry(synthetic_traj):
     poses = run_odometry_stream(scans, downsample_resolution=0.2, config=cfg)
     assert len(poses) == len(scans)
     assert ate_rmse(gt_poses, poses) < 0.05
+
+
+def test_stream_odometry_device_downsample(synthetic_traj):
+    """Device-downsample wiring: same trajectory quality as the host path."""
+    from fast_gicp_tpu.utils.kitti import run_odometry_stream
+
+    scans, gt_poses = synthetic_traj
+    cfg = VGICPConfig(
+        resolution=1.0, neighbor_search_method="direct7",
+        grid_dims=(64, 64, 32),
+    )
+    poses = run_odometry_stream(
+        scans, downsample_resolution=0.2, config=cfg,
+        on_device_downsample=True,
+    )
+    assert len(poses) == len(scans)
+    assert ate_rmse(gt_poses, poses) < 0.05
+
+
+def test_stream_odometry_device_downsample_rejects_huge_scene():
+    import numpy as np
+    import pytest
+
+    from fast_gicp_tpu.utils.kitti import run_odometry_stream
+
+    rng = np.random.default_rng(0)
+    scans = [rng.uniform(-500, 500, (100, 3)).astype(np.float32)
+             for _ in range(3)]
+    with pytest.raises(ValueError, match="dense grid"):
+        run_odometry_stream(scans, downsample_resolution=0.01,
+                            on_device_downsample=True)

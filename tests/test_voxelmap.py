@@ -219,12 +219,12 @@ def test_device_downsample_matches_reference(rng):
     padded[:700] = pts
     mask = np.zeros(768, bool)
     mask[:700] = True
-    got, valid = device_downsample(
+    got, valid, n_live = device_downsample(
         jnp.asarray(padded), jnp.asarray(mask), res, 768, (48, 48, 48)
     )
     got = np.asarray(got)[np.asarray(valid)]
     ref = _ref_voxels(pts, res)  # dict reference with the map convention
-    assert len(got) == len(ref)
+    assert len(got) == len(ref) == int(n_live)
     centroids = np.stack([pts[m].mean(0) for m in ref.values()])
     key = lambda a: a[np.lexsort(np.round(a.T, 4))]
     np.testing.assert_allclose(key(got), key(centroids), atol=1e-4)
