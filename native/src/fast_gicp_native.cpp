@@ -181,8 +181,14 @@ void knn_search(const float* points, int n, const float* queries,
 // ------------------------------------------------------- voxel downsample
 // Centroid-per-voxel grid filter (pcl::VoxelGrid equivalent). Returns the
 // number of output points; out_points must hold >= n floats * 3.
-int voxel_downsample(const float* points, int n, float resolution,
-                     float* out_points) {
+//
+// Multithreaded two-phase build: phase 1 computes every point's voxel key
+// and ownership hash in parallel slices; phase 2 gives each thread the
+// cells whose hash % n_threads it owns — each thread scans the precomputed
+// key array (16 B/point, memory-bound and cheap) and accumulates only its
+// own cells, so no locks and a deterministic result.
+int voxel_downsample_mt(const float* points, int n, float resolution,
+                        int n_threads, float* out_points) {
   struct Key {
     int32_t x, y, z;
     bool operator==(const Key& o) const {
@@ -198,28 +204,62 @@ int voxel_downsample(const float* points, int n, float resolution,
       return size_t(h);
     }
   };
-  std::unordered_map<Key, std::pair<std::array<double, 3>, int>, KeyHash> cells;
-  cells.reserve(size_t(n));
+  using CellMap =
+      std::unordered_map<Key, std::pair<std::array<double, 3>, int>, KeyHash>;
+
+  if (n_threads <= 0) n_threads = int(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min(n_threads, 64));
+
   const double inv = 1.0 / double(resolution);
-  for (int i = 0; i < n; i++) {
-    const float* p = &points[3 * size_t(i)];
-    Key key{int32_t(std::floor(double(p[0]) * inv)),
-            int32_t(std::floor(double(p[1]) * inv)),
-            int32_t(std::floor(double(p[2]) * inv))};
-    auto& cell = cells[key];
-    cell.first[0] += p[0];
-    cell.first[1] += p[1];
-    cell.first[2] += p[2];
-    cell.second += 1;
+  std::vector<Key> keys(static_cast<size_t>(n));
+  parallel_for(n, n_threads, [&](int lo, int hi) {
+    for (int i = lo; i < hi; i++) {
+      const float* p = &points[3 * size_t(i)];
+      keys[size_t(i)] = Key{int32_t(std::floor(double(p[0]) * inv)),
+                            int32_t(std::floor(double(p[1]) * inv)),
+                            int32_t(std::floor(double(p[2]) * inv))};
+    }
+  });
+
+  std::vector<CellMap> shards(static_cast<size_t>(n_threads));
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t] {
+      CellMap& cells = shards[size_t(t)];
+      cells.reserve(size_t(n) / size_t(n_threads) + 16);
+      KeyHash hasher;
+      for (int i = 0; i < n; i++) {
+        const Key& key = keys[size_t(i)];
+        if (int(hasher(key) % size_t(n_threads)) != t) continue;
+        const float* p = &points[3 * size_t(i)];
+        auto& cell = cells[key];
+        cell.first[0] += p[0];
+        cell.first[1] += p[1];
+        cell.first[2] += p[2];
+        cell.second += 1;
+      }
+    });
   }
+  for (auto& th : threads) th.join();
+
   int m = 0;
-  for (const auto& kv : cells) {
-    out_points[3 * size_t(m) + 0] = float(kv.second.first[0] / kv.second.second);
-    out_points[3 * size_t(m) + 1] = float(kv.second.first[1] / kv.second.second);
-    out_points[3 * size_t(m) + 2] = float(kv.second.first[2] / kv.second.second);
-    m++;
+  for (const auto& cells : shards) {
+    for (const auto& kv : cells) {
+      out_points[3 * size_t(m) + 0] =
+          float(kv.second.first[0] / kv.second.second);
+      out_points[3 * size_t(m) + 1] =
+          float(kv.second.first[1] / kv.second.second);
+      out_points[3 * size_t(m) + 2] =
+          float(kv.second.first[2] / kv.second.second);
+      m++;
+    }
   }
   return m;
+}
+
+int voxel_downsample(const float* points, int n, float resolution,
+                     float* out_points) {
+  return voxel_downsample_mt(points, n, resolution, 0, out_points);
 }
 
 // ------------------------------------------------------------------- I/O
