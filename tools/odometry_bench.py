@@ -1,4 +1,7 @@
 """Measure batched odometry throughput on TPU (dev tool)."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import time
 
 import numpy as np

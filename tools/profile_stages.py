@@ -3,6 +3,9 @@
 Methodology per bench.py: enqueue K iterations back-to-back, force only the
 final result (each device->host force on the axon tunnel costs ~35 ms).
 """
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import time
 
 import jax
