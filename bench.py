@@ -71,9 +71,14 @@ def main() -> None:
     fitness = float(
         fitness_score(result.transformation, sp, sm, tp, tm)
     )
+    # Fitness context: the reference reports ~0.204 on PCL-ApproximateVoxelGrid
+    # clouds; on OUR (exact) voxel-grid downsample the fitness at the ground-
+    # truth pose itself is 0.2141, so ~0.2148 is at the optimum — the gap is
+    # the point set, not the alignment.
     print(
         f"# device={jax.devices()[0]} n_src={len(source)} n_tgt={len(target)} "
-        f"t_err={t_err:.4f}m fitness={fitness:.4f} (ref 0.204) "
+        f"t_err={t_err:.4f}m fitness={fitness:.4f} (gt-pose fitness 0.2141 on "
+        f"these clouds; ref 0.204 on PCL clouds) "
         f"iters={int(result.iterations)} ms_per_reg={dt * 1000:.2f}",
         file=sys.stderr,
     )
