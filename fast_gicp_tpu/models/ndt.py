@@ -212,12 +212,14 @@ class NDTCuda(Registration):
         self.grid_dims = tuple(dims) if dims not in (None, "auto") else dims
 
     def set_distance_mode(self, mode: str) -> None:
+        mode = mode.lower()  # accept the reference's "P2D"/"D2D" spellings
         if mode not in ("p2d", "d2d"):
             raise ValueError("distance mode must be 'p2d' or 'd2d'")
         self.distance_mode = mode
 
     def set_neighbor_search_method(self, method: str, radius: float = None) -> None:
-        self.neighbor_search_method = method
+        # accept the reference's uppercase enum spellings ("DIRECT7", ...)
+        self.neighbor_search_method = method.lower()
         if radius is not None:
             self.neighbor_search_radius = float(radius)
 

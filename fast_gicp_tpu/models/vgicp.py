@@ -287,7 +287,8 @@ class FastVGICP(Registration):
         self.resolution = float(r)
 
     def set_neighbor_search_method(self, method: str, radius: float = None) -> None:
-        self.neighbor_search_method = method
+        # accept the reference's uppercase enum spellings ("DIRECT7", ...)
+        self.neighbor_search_method = method.lower()
         if radius is not None:
             self.neighbor_search_radius = float(radius)
 
