@@ -31,20 +31,19 @@ import jax
 import jax.numpy as jnp
 
 from .. import se3
-from ..ops import linalg3
 from ..ops.voxelmap import (
     _COORD_SENTINEL,
     _EMPTY,
     MAX_PROBE,
     VoxelMap,
     _hash_coords,
+    lookup_lut,
     neighbor_offsets,
     next_pow2,
-    voxel_coord,
+    segment_by_voxel,
 )
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
-from ..ops.reduction import error_reduce, linearize_reduce
 
 
 class MapState(NamedTuple):
@@ -55,7 +54,9 @@ class MapState(NamedTuple):
     resolution: jax.Array  # () f32
 
 
-def empty_map(capacity: int, resolution: float, table_factor: int = 4) -> MapState:
+def empty_map(capacity: int, resolution: float, table_factor: int = 8) -> MapState:
+    # table_factor 8: MAX_PROBE=4 is sized for a 1/8 load factor
+    # (ops/voxelmap.py); the persistent map reaches full load over time.
     table_size = next_pow2(table_factor * capacity)
     lut = jnp.concatenate(
         [
@@ -73,24 +74,6 @@ def empty_map(capacity: int, resolution: float, table_factor: int = 4) -> MapSta
     )
 
 
-def _lookup(lut, coords):
-    """coords (..., 3) -> voxel id or -1 (probe the lut rows)."""
-    table_size = lut.shape[0]
-    mask_t = jnp.uint32(table_size - 1)
-    slot0 = (_hash_coords(coords) & mask_t).astype(jnp.int32)
-    # lut-seeded carry: keeps shard_map varying-axes types consistent when
-    # the lut is device-varying but the queries are replicated.
-    found = jnp.sum(coords, axis=-1) * 0 - 1 + lut[0, 0] * 0
-
-    def body(p, found):
-        slot = (slot0 + p) & jnp.int32(table_size - 1)
-        row = lut[slot]
-        match = jnp.all(row[..., 1:4] == coords, axis=-1)
-        return jnp.where((found < 0) & match, row[..., 0], found)
-
-    return jax.lax.fori_loop(0, MAX_PROBE, body, found)
-
-
 @partial(jax.jit, donate_argnums=(0,))
 @f32_matmuls
 def update_map(state: MapState, points_world, covs_world, mask) -> MapState:
@@ -100,29 +83,20 @@ def update_map(state: MapState, points_world, covs_world, mask) -> MapState:
     105-122), but persistent: existing voxels keep their history.  New
     voxels beyond capacity are dropped (the map is a ring of capacity C;
     eviction policies can replace this in later rounds).
+
+    Insertion is CLAIM-FIRST: a new voxel's capacity row and num_voxels
+    slot are committed only after its lut slot claim succeeds, so a voxel
+    whose probe window is full is dropped for this frame (and retried next
+    frame) instead of permanently leaking an unreachable row.
     """
     capacity = state.sums.shape[0]
     table_size = state.lut.shape[0]
     n = points_world.shape[0]
 
-    coords = voxel_coord(points_world, state.resolution)
-    coords = jnp.where(mask[:, None], coords, _COORD_SENTINEL)
-
-    # Segment the scan by voxel (sort + boundaries), as in build_voxelmap.
-    point_idx = jnp.arange(n, dtype=jnp.int32)
-    cx, cy, cz, order = jax.lax.sort(
-        (coords[:, 0], coords[:, 1], coords[:, 2], point_idx), num_keys=3
+    # Segment the scan by voxel (shared with the static builder).
+    seg, new_seg, seg_sorted, sorted_coords, n_segs = segment_by_voxel(
+        points_world, mask, state.resolution, n
     )
-    valid_sorted = cx < _COORD_SENTINEL
-    first = jnp.zeros(n, dtype=bool).at[0].set(True)
-    changed = (
-        (cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1)) | (cz != jnp.roll(cz, 1))
-    )
-    new_seg = (first | changed) & valid_sorted
-    seg_sorted = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    n_segs = jnp.sum(new_seg.astype(jnp.int32))
-    seg_sorted = jnp.where(valid_sorted, jnp.minimum(seg_sorted, n - 1), n)
-    seg = jnp.zeros(n, dtype=jnp.int32).at[order].set(seg_sorted)
 
     contrib = jnp.concatenate(
         [
@@ -136,21 +110,49 @@ def update_map(state: MapState, points_world, covs_world, mask) -> MapState:
     seg_coords = (
         jnp.full((n + 1, 3), _COORD_SENTINEL, jnp.int32)
         .at[jnp.where(new_seg, seg_sorted, n)]
-        .set(jnp.stack([cx, cy, cz], axis=-1))
+        .set(sorted_coords)
     )[:n]
     seg_valid = jnp.arange(n) < n_segs
 
     # Match scan voxels against the existing map.
-    vids = _lookup(state.lut, seg_coords)
+    vids = lookup_lut(state.lut, seg_coords)
     exists = seg_valid & (vids >= 0)
-
-    # New voxels get ids num_voxels, num_voxels+1, ... (capacity-bounded).
     is_new = seg_valid & (vids < 0)
-    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    new_vid = state.num_voxels + new_rank
-    in_cap = is_new & (new_vid < capacity)
-    target_vid = jnp.where(exists, vids, jnp.where(in_cap, new_vid, capacity))
 
+    # --- Phase 1: claim lut slots with per-candidate TICKETS (segment row
+    # index), on a temporary table where occupied slots are blocked (-1).
+    mask_t = jnp.uint32(table_size - 1)
+    slot = (_hash_coords(seg_coords) & mask_t).astype(jnp.int32)
+    blocked = jnp.where(state.lut[:, 0] != _EMPTY, jnp.int32(-1), _EMPTY)
+    tickets = jnp.arange(n, dtype=jnp.int32)
+
+    def claim_body(_, s):
+        table, slot, pending = s
+        attempt = pending & (table[slot] == _EMPTY)
+        try_slot = jnp.where(attempt, slot, table_size)
+        table_ext = jnp.concatenate([table, jnp.full(1, _EMPTY, jnp.int32)])
+        table_ext = table_ext.at[try_slot].min(tickets)
+        table = table_ext[:table_size]
+        won = attempt & (table[slot] == tickets)
+        pending = pending & ~won
+        slot = jnp.where(pending, (slot + 1) & jnp.int32(table_size - 1), slot)
+        return table, slot, pending
+
+    claim_table, final_slot, pending = jax.lax.fori_loop(
+        0, MAX_PROBE, claim_body, (blocked, slot, is_new)
+    )
+    # A candidate's claim succeeded iff its ticket sits in some probed slot;
+    # final_slot stopped advancing at the winning slot.
+    claimed = is_new & ~pending & (claim_table[final_slot] == tickets)
+
+    # --- Phase 2: compact vid assignment over CLAIMED candidates only.
+    new_rank = jnp.cumsum(claimed.astype(jnp.int32)) - 1
+    new_vid = state.num_voxels + new_rank
+    in_cap = claimed & (new_vid < capacity)
+
+    # --- Phase 3: commit. Stats scatter covers existing + admitted-new rows;
+    # lut rows written directly at the claimed slots (unique per candidate).
+    target_vid = jnp.where(exists, vids, jnp.where(in_cap, new_vid, capacity))
     sums = (
         jnp.concatenate([state.sums, jnp.zeros((1, 13), jnp.float32)])
         .at[target_vid]
@@ -164,34 +166,13 @@ def update_map(state: MapState, points_world, covs_world, mask) -> MapState:
     num_voxels = jnp.minimum(
         state.num_voxels + jnp.sum(in_cap.astype(jnp.int32)), capacity
     )
-
-    # Insert the new voxels into the lut (vectorized linear-probe claiming;
-    # occupied slots are final, matching ops.voxelmap._build_table).
-    mask_t = jnp.uint32(table_size - 1)
-    slot = (_hash_coords(seg_coords) & mask_t).astype(jnp.int32)
-    pending = in_cap
-    lut = state.lut
-
-    def body(_, s):
-        lut, slot, pending = s
-        occupied = lut[slot, 0] != _EMPTY
-        attempt = pending & ~occupied
-        try_slot = jnp.where(attempt, slot, table_size)
-        lut_ext = jnp.concatenate(
-            [lut, jnp.full((1, 4), _EMPTY, jnp.int32)], axis=0
-        )
-        # claim by scatter-min on the vid column
-        lut_ext = lut_ext.at[try_slot, 0].min(jnp.where(attempt, new_vid, _EMPTY))
-        claimed = attempt & (lut_ext[slot, 0] == new_vid)
-        lut_ext = lut_ext.at[jnp.where(claimed, slot, table_size), 1:4].set(
-            seg_coords
-        )
-        lut = lut_ext[:table_size]
-        pending = pending & ~claimed
-        slot = jnp.where(pending, (slot + 1) & jnp.int32(table_size - 1), slot)
-        return lut, slot, pending
-
-    lut, _, _ = jax.lax.fori_loop(0, MAX_PROBE, body, (lut, slot, pending))
+    commit_slot = jnp.where(in_cap, final_slot, table_size)
+    lut_ext = jnp.concatenate(
+        [state.lut, jnp.full((1, 4), _EMPTY, jnp.int32)], axis=0
+    )
+    lut_ext = lut_ext.at[commit_slot, 0].set(new_vid)
+    lut_ext = lut_ext.at[commit_slot, 1:4].set(seg_coords)
+    lut = lut_ext[:table_size]
 
     return MapState(
         sums=sums,
@@ -263,6 +244,31 @@ def align_to_map(
     return lsq_solve(lin, err, guess.astype(source.dtype), config.lsq)
 
 
+@jax.jit
+@f32_matmuls
+def _to_world(pose, points, covs):
+    """Transform a scan + covariances into the world frame at full f32
+    matmul precision — eager dispatch would run the (points @ R^T) and
+    R C R^T contractions in bf16 passes and bake ~0.4% coordinate error
+    permanently into the map."""
+    return (
+        se3.transform_points(pose, points),
+        se3.rotate_covs(pose[:3, :3], covs),
+    )
+
+
+@jax.jit
+@f32_matmuls
+def _compose(a, b):
+    return a @ b
+
+
+@jax.jit
+@f32_matmuls
+def _relative(prev, pose):
+    return se3.invert_transform(prev) @ pose
+
+
 class ScanToMapOdometry:
     """Host-side odometry driver over the persistent map.
 
@@ -316,15 +322,14 @@ class ScanToMapOdometry:
             pose = jnp.eye(4, dtype=jnp.float32)
         else:
             prev = self._poses_dev[-1]
-            guess = prev @ self._last_delta
+            guess = _compose(prev, self._last_delta)
             result = align_to_map(
                 self.state, pts, mask, covs, guess, self.config
             )
             pose = result.transformation
-            self._last_delta = se3.invert_transform(prev) @ pose
+            self._last_delta = _relative(prev, pose)
 
-        world_pts = se3.transform_points(pose, pts)
-        world_covs = se3.rotate_covs(pose[:3, :3], covs)
+        world_pts, world_covs = _to_world(pose, pts, covs)
         self.state = update_map(self.state, world_pts, world_covs, mask)
         self._poses_dev.append(pose)
         return pose

@@ -35,12 +35,15 @@ from . import linalg3
 _COORD_SENTINEL = jnp.int32(2**30)
 _EMPTY = jnp.int32(2**30)  # empty hash slot marker (scatter-min identity)
 
-# Linear-probe bound shared by insert and lookup; at 1/8 load factor the
-# expected displacement is <1 slot and P(chain >= 8) is negligible, and each
-# probe round is a full gather+scatter pass (~0.3 ms at 18k voxels on TPU),
-# so the bound is kept tight.  Insert displacement can never exceed lookup's
-# probe depth since both use this constant.
-MAX_PROBE = 4
+# Linear-probe bound shared by insert and lookup.  At 1/8 load factor the
+# expected displacement is <1 slot, but with tens of thousands of voxels the
+# tail matters: a window of 4 occasionally fills (observed ~1 dropped voxel
+# per ~1e4 at load 1/8), silently losing that voxel's correspondences.  At 8
+# the failure probability is negligible; each extra probe round costs one
+# gather pass, and the dense-grid map (the default fast path) does not probe
+# at all.  Insert displacement can never exceed lookup's probe depth since
+# both use this constant.
+MAX_PROBE = 8
 
 ACCUMULATION_MODES = ("additive", "additive_weighted", "multiplicative", "raw")
 
@@ -112,6 +115,60 @@ def next_pow2(n: int) -> int:
     return p
 
 
+def segment_by_voxel(points, mask, resolution, capacity):
+    """Group (N, 3) points by voxel: lexicographic sort of integer coords,
+    boundary detection, dense segment ids.
+
+    Returns (vid (N,) per-point segment id in original order — `capacity`
+    for masked/overflow points, new_voxel (N,) sorted-order boundary flags,
+    vid_sorted (N,), sorted_coords (N, 3), num_voxels ()).  Shared by the
+    static builder and the persistent-map update.
+    """
+    n = points.shape[0]
+    coords = voxel_coord(points, resolution)
+    coords = jnp.where(mask[:, None], coords, _COORD_SENTINEL)
+
+    point_idx = jnp.arange(n, dtype=jnp.int32)
+    cx, cy, cz, order = jax.lax.sort(
+        (coords[:, 0], coords[:, 1], coords[:, 2], point_idx), num_keys=3
+    )
+    valid_sorted = cx < _COORD_SENTINEL
+    first = jnp.zeros(n, dtype=bool).at[0].set(True)
+    changed = (
+        (cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1)) | (cz != jnp.roll(cz, 1))
+    )
+    new_voxel = (first | changed) & valid_sorted
+    vid_sorted = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
+    num_voxels = jnp.sum(new_voxel.astype(jnp.int32))
+    # Invalid points -> overflow bucket `capacity` (sliced off after scatter).
+    vid_sorted = jnp.where(
+        valid_sorted & (vid_sorted < capacity), vid_sorted, capacity
+    )
+    # Map segment id back to original point order.
+    vid = jnp.zeros(n, dtype=jnp.int32).at[order].set(vid_sorted)
+    return vid, new_voxel, vid_sorted, jnp.stack([cx, cy, cz], axis=-1), num_voxels
+
+
+def lookup_lut(lut, coords):
+    """Probe an open-addressing lut (T, 4) [vid, cx, cy, cz] for integer
+    coords (..., 3) -> voxel id or -1.  Shared by the static map and the
+    persistent scan-to-map state."""
+    table_size = lut.shape[0]
+    mask_t = jnp.uint32(table_size - 1)
+    slot0 = (_hash_coords(coords) & mask_t).astype(jnp.int32)
+    # lut-seeded carry: keeps shard_map varying-axes types consistent when
+    # the lut is device-varying but the queries are replicated.
+    found = jnp.sum(coords, axis=-1) * 0 - 1 + lut[0, 0] * 0
+
+    def body(p, found):
+        slot = (slot0 + p) & jnp.int32(table_size - 1)
+        row = lut[slot]
+        match = jnp.all(row[..., 1:4] == coords, axis=-1)
+        return jnp.where((found < 0) & match, row[..., 0], found)
+
+    return jax.lax.fori_loop(0, MAX_PROBE, body, found)
+
+
 def build_voxelmap(
     points,
     mask,
@@ -120,7 +177,6 @@ def build_voxelmap(
     mode: str = "additive",
     capacity: int | None = None,
     table_factor: int = 8,
-    max_probe: int = MAX_PROBE,
     grid_dims: tuple | None = None,
 ):
     """Build a Gaussian voxel map from (N, 3) points (+ per-point covs).
@@ -150,27 +206,9 @@ def build_voxelmap(
     table_size = next_pow2(table_factor * capacity)
     dtype = points.dtype
 
-    coords = voxel_coord(points, resolution)
-    coords = jnp.where(mask[:, None], coords, _COORD_SENTINEL)
-
-    # Lexicographic sort by (cx, cy, cz); carry the original point index.
-    point_idx = jnp.arange(n, dtype=jnp.int32)
-    cx, cy, cz, order = jax.lax.sort(
-        (coords[:, 0], coords[:, 1], coords[:, 2], point_idx), num_keys=3
+    vid, new_voxel, vid_sorted, sorted_coords, num_voxels = segment_by_voxel(
+        points, mask, resolution, capacity
     )
-    valid_sorted = cx < _COORD_SENTINEL
-    first = jnp.zeros(n, dtype=bool).at[0].set(True)
-    changed = (
-        (cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1)) | (cz != jnp.roll(cz, 1))
-    )
-    new_voxel = (first | changed) & valid_sorted
-    vid_sorted = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
-    num_voxels = jnp.sum(new_voxel.astype(jnp.int32))
-    # Invalid points -> overflow bucket `capacity` (sliced off after scatter).
-    vid_sorted = jnp.where(valid_sorted & (vid_sorted < capacity), vid_sorted, capacity)
-
-    # Map voxel id back to original point order for the accumulation scatter.
-    vid = jnp.zeros(n, dtype=jnp.int32).at[order].set(vid_sorted)
 
     # One fused scatter for [count | sum mean | sum cov] (scatters have high
     # fixed cost on TPU; three separate ones measurably slow the build).
@@ -184,12 +222,12 @@ def build_voxelmap(
     vcoords = (
         jnp.zeros((capacity + 1, 3), jnp.int32)
         .at[jnp.where(new_voxel, vid_sorted, capacity)]
-        .set(jnp.stack([cx, cy, cz], axis=-1))
+        .set(sorted_coords)
     )[:capacity]
 
     packed = _pack(means, covs_out, counts, dtype)
 
-    table = _build_table(vcoords, num_voxels, capacity, table_size, max_probe)
+    table = _build_table(vcoords, num_voxels, capacity, table_size, MAX_PROBE)
     safe_t = jnp.maximum(table, 0) * (table != _EMPTY)
     lut_coords = jnp.where(
         (table != _EMPTY)[:, None], vcoords[safe_t], _COORD_SENTINEL
@@ -368,20 +406,7 @@ def lookup_voxels(vmap, query_coords, max_probe: int = MAX_PROBE):
         flat = (rel[..., 0] * gy + rel[..., 1]) * gz + rel[..., 2]
         vid = vmap.grid.reshape(-1)[jnp.where(inside, flat, 0)]
         return jnp.where(inside, vid, -1)
-    table_size = vmap.table.shape[0]
-    mask_t = jnp.uint32(table_size - 1)
-    slot0 = (_hash_coords(query_coords) & mask_t).astype(jnp.int32)
-    # Derive the carry init from the query data (not a constant) so its
-    # device-varying type matches the loop body under shard_map.
-    found = jnp.sum(query_coords, axis=-1) * 0 - 1
-
-    def body(p, found):
-        slot = (slot0 + p) & jnp.int32(table_size - 1)
-        row = vmap.lut[slot]  # (..., 4): [vid, cx, cy, cz]
-        match = jnp.all(row[..., 1:4] == query_coords, axis=-1)
-        return jnp.where((found < 0) & match, row[..., 0], found)
-
-    return jax.lax.fori_loop(0, max_probe, body, found)
+    return lookup_lut(vmap.lut, query_coords)
 
 
 def lookup_voxels_cols(vmap, cx, cy, cz):

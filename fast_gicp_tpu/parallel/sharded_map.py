@@ -5,9 +5,10 @@ The north-star capability (SURVEY.md §2.4, §5): a world voxel map too large
 (or too hot) for one chip, partitioned across devices.  Design:
 
   * OWNERSHIP: voxel with integer coord c lives on device
-    hash(c) % n_devices.  The hash is the map's own spatial hash, so
-    ownership is deterministic, needs no directory, and is balanced for
-    any realistic scene.
+    remix(hash(c)) % n_devices, where remix draws on different bits than
+    the lut slot index (which uses hash & (T-1)) — otherwise on a
+    power-of-two mesh every device's voxels would share slot residues and
+    concentrate inserts d-fold.  Deterministic, no directory, balanced.
   * UPDATE: every device receives the (replicated, small) registered scan,
     keeps exactly the points whose voxel it owns, and fuses them into its
     local shard with the same fixed-shape segment/scatter update as the
@@ -36,6 +37,9 @@ from jax.sharding import PartitionSpec as P
 from ..models.scan_to_map import (
     MapState,
     ScanToMapConfig,
+    _compose,
+    _relative,
+    _to_world,
     empty_map,
     map_as_voxelmap,
     update_map,
@@ -103,9 +107,13 @@ def update_sharded_map(
     def run(st, pts, covs, msk):
         local = _local_state(*st[:4], st.resolution)
         me = jax.lax.axis_index(axis)
-        own = (
-            _hash_coords(voxel_coord(pts, st.resolution)) % jnp.uint32(d)
-        ).astype(jnp.int32) == me
+        # Ownership must NOT reuse the lut slot bits: slot = hash & (T-1)
+        # uses the low bits, so hash %% d on a power-of-two mesh would make
+        # every device's home slots satisfy slot == me (mod d), concentrating
+        # inserts d-fold. Re-mix and take HIGH bits instead.
+        h = _hash_coords(voxel_coord(pts, st.resolution))
+        h = (h ^ (h >> 16)) * jnp.uint32(0x9E3779B9)
+        own = ((h >> 24) % jnp.uint32(d)).astype(jnp.int32) == me
         new = update_map(local, pts, covs, msk & own)
         return ShardedMapState(
             sums=new.sums,
@@ -206,15 +214,14 @@ class ShardedScanToMapOdometry:
             pose = jnp.eye(4, dtype=jnp.float32)
         else:
             prev = self._poses_dev[-1]
-            guess = prev @ self._last_delta
+            guess = _compose(prev, self._last_delta)
             result = align_to_sharded_map(
                 self.mesh, self.state, pts, mask, covs, guess, self.config
             )
             pose = result.transformation
-            self._last_delta = se3.invert_transform(prev) @ pose
+            self._last_delta = _relative(prev, pose)
 
-        world_pts = se3.transform_points(pose, pts)
-        world_covs = se3.rotate_covs(pose[:3, :3], covs)
+        world_pts, world_covs = _to_world(pose, pts, covs)
         self.state = update_sharded_map(
             self.mesh, self.state, world_pts, world_covs, mask
         )

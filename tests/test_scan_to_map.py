@@ -105,3 +105,30 @@ def test_sharded_scan_to_map_matches_single():
     from fast_gicp_tpu.utils.kitti import ate_rmse
 
     assert ate_rmse(gt, sharded.poses) < 0.05
+
+
+def test_update_map_no_orphan_rows(rng):
+    """Claim-first insertion: every committed capacity row is reachable
+    through the lut (no leaked rows when probe windows fill up), at a
+    deliberately high table load (table_factor=2) over many frames."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.scan_to_map import empty_map, update_map
+    from fast_gicp_tpu.ops.voxelmap import _EMPTY
+
+    state = empty_map(64, 1.0, table_factor=2)
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (128, 3, 3))
+    for _ in range(6):
+        pts = jnp.asarray(
+            (rng.uniform(size=(128, 3)) * 40 - 20).astype(np.float32)
+        )
+        state = update_map(state, pts, covs, jnp.ones(128, bool))
+        nv = int(state.num_voxels)
+        lut = np.asarray(state.lut)
+        vids = lut[lut[:, 0] != int(_EMPTY), 0]
+        # compact ids, each exactly once, all < num_voxels
+        np.testing.assert_array_equal(np.sort(vids), np.arange(nv))
+        counts = np.asarray(state.sums[:, 0])
+        assert (counts[:nv] > 0).all()
+        assert (counts[nv:] == 0).all()
+    assert nv <= 64
