@@ -13,6 +13,9 @@ Three modes:
   --mode batched  vmapped pair batches (best when many pairs converge in a
                   similar number of iterations; a single straggler pair
                   stalls the whole batch in the vmapped LM loop)
+  --mode map      persistent scan-to-map odometry (registers against an
+                  incrementally fused world voxel map — beyond the
+                  reference's scan-to-scan-only pipeline)
 
 Usage: python apps/kitti.py /path/to/sequences/00/velodyne [--limit N]
 """
@@ -31,7 +34,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("data_dir", help="directory of KITTI .bin scans")
     parser.add_argument("--limit", type=int, default=None)
-    parser.add_argument("--mode", choices=("serial", "stream", "batched"),
+    parser.add_argument("--mode",
+                        choices=("serial", "stream", "batched", "map"),
                         default="stream")
     parser.add_argument("--downsample", type=float, default=0.25)
     parser.add_argument("--batch", type=int, default=16)
@@ -68,6 +72,19 @@ def main(argv=None):
                 print(f"frame {i}: fps={fps:.1f}", flush=True)
 
         poses = run_odometry(scans, reg, args.downsample, progress)
+    elif args.mode == "map":
+        from fast_gicp_tpu.models.scan_to_map import (
+            ScanToMapConfig,
+            ScanToMapOdometry,
+        )
+        from fast_gicp_tpu.utils.downsample import voxel_downsample
+
+        odo = ScanToMapOdometry(
+            ScanToMapConfig(resolution=args.resolution)
+        )
+        for scan in scans:
+            odo.process_async(voxel_downsample(scan, args.downsample))
+        poses = odo.poses  # single synchronization
     elif args.mode == "stream":
         from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
 

@@ -183,15 +183,24 @@ def update_map(state: MapState, points_world, covs_world, mask) -> MapState:
     )
 
 
-def map_as_voxelmap(state: MapState) -> VoxelMap:
-    """Finalize the additive sums into a VoxelMap view for registration."""
+def map_as_voxelmap(state: MapState, max_weight_points: float = 25.0) -> VoxelMap:
+    """Finalize the additive sums into a VoxelMap view for registration.
+
+    Residual weights downstream are sqrt(count) (fast_vgicp_impl.hpp:149) —
+    designed for single-scan maps where counts are bounded by scan density.
+    In a persistent map counts grow with every fused frame, which skews the
+    objective toward long-observed (typically ground) voxels and away from
+    the sparse structure that constrains x/y/yaw; clamp the count exposed to
+    the objective to a per-scan-like scale.
+    """
     capacity = state.sums.shape[0]
     counts_f = state.sums[:, 0]
     n_f = jnp.maximum(counts_f, 1.0)[:, None]
     means = state.sums[:, 1:4] / n_f
     covs = state.sums[:, 4:13] / n_f
+    w_counts = jnp.minimum(counts_f, max_weight_points)
     packed = jnp.concatenate(
-        [means, covs, counts_f[:, None], jnp.zeros((capacity, 3), jnp.float32)],
+        [means, covs, w_counts[:, None], jnp.zeros((capacity, 3), jnp.float32)],
         axis=1,
     )
     return VoxelMap(
@@ -210,8 +219,18 @@ def map_as_voxelmap(state: MapState) -> VoxelMap:
 class ScanToMapConfig(NamedTuple):
     resolution: float = 1.0
     capacity: int = 1 << 17  # persistent map voxels
-    neighbor_search_method: str = "direct7"
+    # direct1 (the reference's own VGICP default): measured 2.5x faster AND
+    # 2.4x more accurate than direct7 against the persistent map (the
+    # 7-offset objective reject-storms the LM; see tools/odometry_bench).
+    neighbor_search_method: str = "direct1"
     neighbor_search_radius: float = 1.5
+    # Tracking gate (failure detection the reference lacks, SURVEY.md §5):
+    # an align whose delta deviates from the constant-velocity prediction by
+    # more than this is rejected — the prediction is used instead and the
+    # scan is NOT fused, so one bad registration cannot poison the map and
+    # snowball. Evaluated on device (no sync). None disables a gate.
+    gate_translation: float = 1.0  # meters vs predicted pose
+    gate_rotation: float = 0.5  # radians vs predicted pose
     lsq: LsqConfig = LsqConfig()
 
 
@@ -260,13 +279,42 @@ def _to_world(pose, points, covs):
 @jax.jit
 @f32_matmuls
 def _compose(a, b):
-    return a @ b
+    return se3.orthonormalize(a @ b)
+
+
+@partial(jax.jit, static_argnames=("gate_t", "gate_r"))
+@f32_matmuls
+def _gate_pose(aligned, guess, converged, error, gate_t, gate_r):
+    """Tracking gate: accept the aligned pose only if it converged with a
+    live objective and sits within (gate_t, gate_r) of the constant-velocity
+    prediction; otherwise fall back to the prediction and signal the caller
+    to skip fusion.
+
+    The objective-value check catches TOTAL track loss: with zero valid
+    correspondences the normal equations are all-zero, the LM step is
+    exactly identity, and the solve returns the guess "converged" with
+    error == 0 — indistinguishable from success by pose deviation alone.
+    """
+    d = se3.invert_transform(guess) @ aligned
+    t_dev = jnp.linalg.norm(d[:3, 3])
+    r_dev = se3.rotation_angle(d[:3, :3])
+    # Accept-form logic: a NaN deviation (lost track, degenerate Hessian)
+    # compares False and therefore REJECTS — `bad | (dev > gate)` would
+    # accept NaN poses.
+    good = converged & (error > 0.0) & jnp.isfinite(error)
+    if gate_t is not None:
+        good = good & (t_dev <= gate_t)
+    if gate_r is not None:
+        good = good & (r_dev <= gate_r)
+    return jnp.where(good, aligned, guess), ~good
 
 
 @jax.jit
 @f32_matmuls
 def _relative(prev, pose):
-    return se3.invert_transform(prev) @ pose
+    # orthonormalized: see se3.orthonormalize — the inv/compose feedback
+    # loop otherwise doubles rotation defects every frame
+    return se3.orthonormalize(se3.invert_transform(prev) @ pose)
 
 
 class ScanToMapOdometry:
@@ -320,17 +368,35 @@ class ScanToMapOdometry:
 
         if not self._poses_dev:
             pose = jnp.eye(4, dtype=jnp.float32)
+            fuse_mask = mask
         else:
             prev = self._poses_dev[-1]
             guess = _compose(prev, self._last_delta)
             result = align_to_map(
                 self.state, pts, mask, covs, guess, self.config
             )
-            pose = result.transformation
-            self._last_delta = _relative(prev, pose)
+            if len(self._poses_dev) >= 2:
+                pose, rejected = _gate_pose(
+                    result.transformation, guess, result.converged,
+                    result.error,
+                    self.config.gate_translation, self.config.gate_rotation,
+                )
+                fuse_mask = mask & ~rejected  # rejected scans don't fuse
+                # On reject, keep the old delta VERBATIM: recomputing it as
+                # inv(prev) @ (prev @ delta) amplifies any non-orthonormality
+                # of prev exponentially across consecutive rejections.
+                self._last_delta = jnp.where(
+                    rejected, self._last_delta, _relative(prev, pose)
+                )
+            else:
+                # no velocity estimate yet — the constant-velocity
+                # prediction is identity and would reject any real motion
+                pose = result.transformation
+                fuse_mask = mask
+                self._last_delta = _relative(prev, pose)
 
         world_pts, world_covs = _to_world(pose, pts, covs)
-        self.state = update_map(self.state, world_pts, world_covs, mask)
+        self.state = update_map(self.state, world_pts, world_covs, fuse_mask)
         self._poses_dev.append(pose)
         return pose
 

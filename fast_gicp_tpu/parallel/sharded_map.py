@@ -38,6 +38,7 @@ from ..models.scan_to_map import (
     MapState,
     ScanToMapConfig,
     _compose,
+    _gate_pose,
     _relative,
     _to_world,
     empty_map,
@@ -212,14 +213,32 @@ class ShardedScanToMapOdometry:
 
         if not self._poses_dev:
             pose = jnp.eye(4, dtype=jnp.float32)
+            fuse_mask = mask
         else:
             prev = self._poses_dev[-1]
             guess = _compose(prev, self._last_delta)
             result = align_to_sharded_map(
                 self.mesh, self.state, pts, mask, covs, guess, self.config
             )
-            pose = result.transformation
-            self._last_delta = _relative(prev, pose)
+            if len(self._poses_dev) >= 2:
+                pose, rejected = _gate_pose(
+                    result.transformation, guess, result.converged,
+                    result.error,
+                    self.config.gate_translation, self.config.gate_rotation,
+                )
+                fuse_mask = mask & ~rejected
+                # On reject, keep the old delta VERBATIM: recomputing it as
+                # inv(prev) @ (prev @ delta) amplifies any non-orthonormality
+                # of prev exponentially across consecutive rejections.
+                self._last_delta = jnp.where(
+                    rejected, self._last_delta, _relative(prev, pose)
+                )
+            else:
+                # no velocity estimate yet — the constant-velocity
+                # prediction is identity and would reject any real motion
+                pose = result.transformation
+                fuse_mask = mask
+                self._last_delta = _relative(prev, pose)
 
         world_pts, world_covs = _to_world(pose, pts, covs)
         self.state = update_sharded_map(

@@ -206,6 +206,28 @@ def se3_log(T):
     return jnp.concatenate([omega, rho], axis=-1)
 
 
+def orthonormalize(T):
+    """Project the rotation block of (..., 4, 4) back onto SO(3) via
+    Gram-Schmidt (columns), keeping the translation.
+
+    Feedback loops of the form delta <- inv(prev) @ align(prev @ delta)
+    DOUBLE the rotation's orthonormality defect every iteration (the
+    transpose-based rigid inverse is only an inverse for exact rotations),
+    so the f32 rounding seed (~1e-7) walks to O(0.1) within ~20 frames.
+    Re-projecting once per frame keeps the defect at rounding level.
+    """
+    T = jnp.asarray(T)
+    R = T[..., :3, :3]
+    c0 = R[..., :, 0]
+    c0 = c0 / jnp.linalg.norm(c0, axis=-1, keepdims=True)
+    c1 = R[..., :, 1]
+    c1 = c1 - jnp.sum(c0 * c1, axis=-1, keepdims=True) * c0
+    c1 = c1 / jnp.linalg.norm(c1, axis=-1, keepdims=True)
+    c2 = jnp.cross(c0, c1)
+    R_out = jnp.stack([c0, c1, c2], axis=-1)
+    return make_transform(R_out, T[..., :3, 3])
+
+
 def make_transform(R, t):
     """Assemble a 4x4 homogeneous transform from R (.., 3, 3) and t (.., 3)."""
     R = jnp.asarray(R)

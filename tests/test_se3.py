@@ -97,3 +97,19 @@ def test_se3_log_roundtrip(rng):
     xi2 = (rng.normal(size=(8, 6)) * 1e-7).astype(np.float32)
     back2 = np.asarray(se3_log(se3_exp(jnp.asarray(xi2))))
     np.testing.assert_allclose(back2, xi2, atol=1e-9)
+
+
+def test_orthonormalize_fixed_point_and_projection(rng):
+    from fast_gicp_tpu.se3 import orthonormalize, se3_exp
+
+    T = np.asarray(se3_exp(jnp.asarray(np.float32([0.3, -0.2, 0.5, 1, 2, 3]))))
+    np.testing.assert_allclose(np.asarray(orthonormalize(jnp.asarray(T))), T,
+                               atol=1e-6)
+    # perturbed rotation projects back to orthonormal, translation kept
+    bad = T.copy()
+    bad[:3, :3] *= 1.05
+    bad[0, 1] += 0.03
+    out = np.asarray(orthonormalize(jnp.asarray(bad)))
+    R = out[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(out[:3, 3], T[:3, 3], atol=1e-7)
