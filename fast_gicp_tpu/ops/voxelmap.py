@@ -152,21 +152,38 @@ def segment_by_voxel(points, mask, resolution, capacity):
 def lookup_lut(lut, coords):
     """Probe an open-addressing lut (T, 4) [vid, cx, cy, cz] for integer
     coords (..., 3) -> voxel id or -1.  Shared by the static map and the
-    persistent scan-to-map state."""
+    persistent scan-to-map state.
+
+    Early exit: a query is RESOLVED on a coordinate match or on the first
+    EMPTY slot (insertion never leaves holes inside a probe chain, so an
+    empty slot proves absence — same invariant as the reference's probe,
+    find_voxel_correspondences.cu:43-45).  At 1/8 load nearly every query
+    resolves in round 1, so the while_loop usually runs 1-2 of the
+    MAX_PROBE rounds instead of all of them.
+    """
     table_size = lut.shape[0]
     mask_t = jnp.uint32(table_size - 1)
     slot0 = (_hash_coords(coords) & mask_t).astype(jnp.int32)
-    # lut-seeded carry: keeps shard_map varying-axes types consistent when
+    # lut-seeded carries: keep shard_map varying-axes types consistent when
     # the lut is device-varying but the queries are replicated.
     found = jnp.sum(coords, axis=-1) * 0 - 1 + lut[0, 0] * 0
+    resolved = (found > jnp.int32(_EMPTY))  # all-False, lut-varying type
 
-    def body(p, found):
+    def cond(s):
+        p, _found, resolved = s
+        return (p < MAX_PROBE) & ~jnp.all(resolved)
+
+    def body(s):
+        p, found, resolved = s
         slot = (slot0 + p) & jnp.int32(table_size - 1)
         row = lut[slot]
         match = jnp.all(row[..., 1:4] == coords, axis=-1)
-        return jnp.where((found < 0) & match, row[..., 0], found)
+        found = jnp.where(~resolved & match, row[..., 0], found)
+        resolved = resolved | match | (row[..., 0] == _EMPTY)
+        return p + 1, found, resolved
 
-    return jax.lax.fori_loop(0, MAX_PROBE, body, found)
+    _, found, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), found, resolved))
+    return found
 
 
 def build_voxelmap(
@@ -434,18 +451,28 @@ def lookup_voxels_cols(vmap, cx, cy, cz):
         ^ (cz.astype(jnp.uint32) * _HP3)
     )
     slot0 = (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
-    # Seed the carry with a zero drawn from the lut so its shard_map
-    # varying-axes type matches the loop body (queries may be replicated
+    # Seed the carries with a zero drawn from the lut so their shard_map
+    # varying-axes types match the loop body (queries may be replicated
     # while the lut is device-varying).
     found = cx * 0 - 1 + vmap.lut[0, 0] * 0
+    resolved = found > jnp.int32(_EMPTY)  # all-False, lut-varying type
 
-    def body(p, found):
+    def cond(s):
+        p, _found, resolved = s
+        return (p < MAX_PROBE) & ~jnp.all(resolved)
+
+    def body(s):
+        # early exit on match OR first empty slot; see lookup_lut
+        p, found, resolved = s
         slot = (slot0 + p) & jnp.int32(table_size - 1)
         row = vmap.lut[slot]  # (..., 4): [vid, cx, cy, cz]
         match = (row[..., 1] == cx) & (row[..., 2] == cy) & (row[..., 3] == cz)
-        return jnp.where((found < 0) & match, row[..., 0], found)
+        found = jnp.where(~resolved & match, row[..., 0], found)
+        resolved = resolved | match | (row[..., 0] == _EMPTY)
+        return p + 1, found, resolved
 
-    return jax.lax.fori_loop(0, MAX_PROBE, body, found)
+    _, found, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), found, resolved))
+    return found
 
 
 def gather_voxel_stats(vmap: VoxelMap, vids):
