@@ -62,8 +62,8 @@ _NEW_PER_FRAME_CAP = 16384
 
 
 def empty_map(capacity: int, resolution: float, table_factor: int = 8) -> MapState:
-    # table_factor 8: MAX_PROBE=4 is sized for a 1/8 load factor
-    # (ops/voxelmap.py); the persistent map reaches full load over time.
+    # table_factor 8: MAX_PROBE (ops/voxelmap.py) is sized for a 1/8 load
+    # factor; the persistent map reaches full load over time.
     table_size = next_pow2(table_factor * capacity)
     lut = jnp.concatenate(
         [
@@ -136,6 +136,13 @@ def update_map(state: MapState, points_world, covs_world, mask) -> MapState:
     cand_valid = jnp.arange(new_cap, dtype=jnp.int32) < jnp.minimum(
         n_new, new_cap
     )  # overflow beyond new_cap is dropped this frame (retried next)
+    # Pre-filter to guaranteed capacity BEFORE claiming: a candidate that
+    # wins a slot but then fails the capacity check would leave a hole in
+    # its probe chain that orphans same-frame committed voxels under the
+    # stop-at-empty lookup. The pre-claim rank is an upper bound on the
+    # post-claim rank, so every claim winner is admissible by construction.
+    pre_rank = jnp.cumsum(cand_valid.astype(jnp.int32)) - 1
+    cand_valid = cand_valid & (state.num_voxels + pre_rank < capacity)
     cand_coords = seg_coords[cand]
 
     # --- Phase 2: claim lut slots with per-candidate TICKETS, on a temporary
@@ -387,6 +394,14 @@ class ScanToMapOdometry:
             for p in jax.device_get(self._poses_dev)
         ]
 
+    # Hooks overridden by the sharded driver (parallel/sharded_map.py) —
+    # ALL per-frame logic lives in process_async below, shared by both.
+    def _align(self, pts, mask, covs, guess):
+        return align_to_map(self.state, pts, mask, covs, guess, self.config)
+
+    def _fuse(self, world_pts, world_covs, fuse_mask):
+        self.state = update_map(self.state, world_pts, world_covs, fuse_mask)
+
     def process_async(self, scan):
         """Feed one (N, 3) scan; returns the pose as a DEVICE array without
         synchronizing (pipelines across frames)."""
@@ -405,31 +420,27 @@ class ScanToMapOdometry:
         else:
             prev = self._poses_dev[-1]
             guess = _compose(prev, self._last_delta)
-            result = align_to_map(
-                self.state, pts, mask, covs, guess, self.config
+            result = self._align(pts, mask, covs, guess)
+            # Until a velocity estimate exists (frame 2), the prediction is
+            # identity and any real motion would trip the deviation gates —
+            # but the liveness checks (converged, finite, error > 0) apply
+            # from the first align.
+            have_velocity = len(self._poses_dev) >= 2
+            pose, rejected = _gate_pose(
+                result.transformation, guess, result.converged, result.error,
+                self.config.gate_translation if have_velocity else None,
+                self.config.gate_rotation if have_velocity else None,
             )
-            if len(self._poses_dev) >= 2:
-                pose, rejected = _gate_pose(
-                    result.transformation, guess, result.converged,
-                    result.error,
-                    self.config.gate_translation, self.config.gate_rotation,
-                )
-                fuse_mask = mask & ~rejected  # rejected scans don't fuse
-                # On reject, keep the old delta VERBATIM: recomputing it as
-                # inv(prev) @ (prev @ delta) amplifies any non-orthonormality
-                # of prev exponentially across consecutive rejections.
-                self._last_delta = jnp.where(
-                    rejected, self._last_delta, _relative(prev, pose)
-                )
-            else:
-                # no velocity estimate yet — the constant-velocity
-                # prediction is identity and would reject any real motion
-                pose = result.transformation
-                fuse_mask = mask
-                self._last_delta = _relative(prev, pose)
+            fuse_mask = mask & ~rejected  # rejected scans don't fuse
+            # On reject, keep the old delta VERBATIM: recomputing it as
+            # inv(prev) @ (prev @ delta) amplifies any non-orthonormality
+            # of prev exponentially across consecutive rejections.
+            self._last_delta = jnp.where(
+                rejected, self._last_delta, _relative(prev, pose)
+            )
 
         world_pts, world_covs = _to_world(pose, pts, covs)
-        self.state = update_map(self.state, world_pts, world_covs, fuse_mask)
+        self._fuse(world_pts, world_covs, fuse_mask)
         self._poses_dev.append(pose)
         return pose
 

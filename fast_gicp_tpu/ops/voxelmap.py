@@ -407,7 +407,7 @@ def _build_table(vcoords, num_voxels, capacity, table_size, max_probe):
     return table
 
 
-def lookup_voxels(vmap, query_coords, max_probe: int = MAX_PROBE):
+def lookup_voxels(vmap, query_coords):
     """Map integer coords (..., 3) -> voxel index, or -1 if absent.
 
     GridVoxelMap: a single bounds-checked gather from the dense grid.
@@ -494,10 +494,12 @@ def device_downsample(points, mask, resolution, out_capacity: int, grid_dims):
     build — no covariance columns — plus one static-size nonzero
     compaction) and pipelines with everything else.
 
-    Returns (points (out_capacity, 3), valid (out_capacity,), n_live ()).
-    If the cloud has more occupied voxels than `out_capacity`, the excess
-    (highest representative index, i.e. latest in scan order) is dropped —
-    check ``n_live > out_capacity`` at sync time to detect it.
+    Returns (points (out_capacity, 3), valid (out_capacity,), n_live (),
+    n_out_of_grid ()).  If the cloud has more occupied voxels than
+    `out_capacity`, the excess (highest representative index, i.e. latest in
+    scan order) is dropped — check ``n_live > out_capacity`` at sync time.
+    ``n_out_of_grid`` counts input points falling outside the static grid
+    (also silently dropped; nonzero means the grid was sized too small).
     """
     n = points.shape[0]
     dtype = points.dtype
@@ -530,7 +532,8 @@ def device_downsample(points, mask, resolution, out_capacity: int, grid_dims):
         n_live, out_capacity
     )
     pts = means[idx] * valid[:, None]
-    return pts, valid, n_live
+    n_out = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(inside.astype(jnp.int32))
+    return pts, valid, n_live, n_out
 
 
 def auto_grid_dims(

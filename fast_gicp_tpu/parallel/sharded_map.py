@@ -37,10 +37,7 @@ from jax.sharding import PartitionSpec as P
 from ..models.scan_to_map import (
     MapState,
     ScanToMapConfig,
-    _compose,
-    _gate_pose,
-    _relative,
-    _to_world,
+    ScanToMapOdometry,
     empty_map,
     map_as_voxelmap,
     update_map,
@@ -114,7 +111,7 @@ def update_sharded_map(
         # inserts d-fold. Re-mix and take HIGH bits instead.
         h = _hash_coords(voxel_coord(pts, st.resolution))
         h = (h ^ (h >> 16)) * jnp.uint32(0x9E3779B9)
-        own = ((h >> 24) % jnp.uint32(d)).astype(jnp.int32) == me
+        own = ((h >> 8) % jnp.uint32(d)).astype(jnp.int32) == me
         new = update_map(local, pts, covs, msk & own)
         return ShardedMapState(
             sums=new.sums,
@@ -168,9 +165,12 @@ def align_to_sharded_map(
     )
 
 
-class ShardedScanToMapOdometry:
+class ShardedScanToMapOdometry(ScanToMapOdometry):
     """Multi-device mirror of ScanToMapOdometry: persistent hash-sharded
-    world map, constant-velocity warm start, scan fusion at the estimate."""
+    world map, constant-velocity warm start, scan fusion at the estimate.
+
+    All per-frame logic (gate, delta bookkeeping, fusion masking) is
+    inherited from ScanToMapOdometry — only the align/fuse hooks differ."""
 
     def __init__(
         self,
@@ -178,74 +178,18 @@ class ShardedScanToMapOdometry:
         mesh=None,
         covariance: str = "rbf",
     ):
-        self.config = config
+        super().__init__(config, covariance=covariance)
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.covariance = covariance
         d = self.mesh.shape[self.mesh.axis_names[0]]
         cap_local = max(1, config.capacity // d)
         self.state = empty_sharded_map(self.mesh, cap_local, config.resolution)
-        self._poses_dev = []
-        self._last_delta = jnp.eye(4, dtype=jnp.float32)
 
-    def _covs(self, points, mask):
-        from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
-
-        if self.covariance == "rbf":
-            return rbf_covariances_jit(points, mask)
-        return knn_covariances_jit(points, mask)
-
-    @property
-    def poses(self):
-        return [
-            np.asarray(p, dtype=np.float64)
-            for p in jax.device_get(self._poses_dev)
-        ]
-
-    def process_async(self, scan):
-        """Feed one scan; returns the pose as a device array (no sync)."""
-        from .. import se3
-        from ..utils.padding import pad_points
-
-        padded, mask_np = pad_points(np.asarray(scan))
-        pts = jnp.asarray(padded)
-        mask = jnp.asarray(mask_np)
-        covs = self._covs(pts, mask)
-
-        if not self._poses_dev:
-            pose = jnp.eye(4, dtype=jnp.float32)
-            fuse_mask = mask
-        else:
-            prev = self._poses_dev[-1]
-            guess = _compose(prev, self._last_delta)
-            result = align_to_sharded_map(
-                self.mesh, self.state, pts, mask, covs, guess, self.config
-            )
-            if len(self._poses_dev) >= 2:
-                pose, rejected = _gate_pose(
-                    result.transformation, guess, result.converged,
-                    result.error,
-                    self.config.gate_translation, self.config.gate_rotation,
-                )
-                fuse_mask = mask & ~rejected
-                # On reject, keep the old delta VERBATIM: recomputing it as
-                # inv(prev) @ (prev @ delta) amplifies any non-orthonormality
-                # of prev exponentially across consecutive rejections.
-                self._last_delta = jnp.where(
-                    rejected, self._last_delta, _relative(prev, pose)
-                )
-            else:
-                # no velocity estimate yet — the constant-velocity
-                # prediction is identity and would reject any real motion
-                pose = result.transformation
-                fuse_mask = mask
-                self._last_delta = _relative(prev, pose)
-
-        world_pts, world_covs = _to_world(pose, pts, covs)
-        self.state = update_sharded_map(
-            self.mesh, self.state, world_pts, world_covs, mask
+    def _align(self, pts, mask, covs, guess):
+        return align_to_sharded_map(
+            self.mesh, self.state, pts, mask, covs, guess, self.config
         )
-        self._poses_dev.append(pose)
-        return pose
 
-    def process(self, scan) -> np.ndarray:
-        return np.asarray(self.process_async(scan), dtype=np.float64)
+    def _fuse(self, world_pts, world_covs, fuse_mask):
+        self.state = update_sharded_map(
+            self.mesh, self.state, world_pts, world_covs, fuse_mask
+        )

@@ -84,42 +84,41 @@ def run_odometry_batched(
     if len(clouds) < 2:
         return [np.eye(4)] * len(clouds)
     bucket = max(bucket_size(len(c)) for c in clouds)
-    padded = [pad_points(c, bucket) for c in clouds]
-    pts = jnp.asarray(np.stack([p for p, _ in padded]))  # (F, N, 3)
-    msk = jnp.asarray(np.stack([m for _, m in padded]))  # (F, N)
 
     if covariance == "rbf":
         cov_fn = jax.jit(jax.vmap(lambda p, m: rbf_covariances_jit(p, m)))
     else:
         cov_fn = jax.jit(jax.vmap(lambda p, m: knn_covariances_jit(p, m)))
-    covs = []
-    for s in range(0, pts.shape[0], batch_size):
-        covs.append(cov_fn(pts[s : s + batch_size], msk[s : s + batch_size]))
-    covs = jnp.concatenate(covs, axis=0)
 
-    n_pairs = pts.shape[0] - 1
+    def window(lo):
+        """Device arrays for batch_size+1 frames starting at `lo` (clamped
+        frame indices keep the compiled shape fixed for the last window)."""
+        ids = [min(i, len(clouds) - 1) for i in range(lo, lo + batch_size + 1)]
+        padded = [pad_points(clouds[i], bucket) for i in ids]
+        p = jnp.asarray(np.stack([x for x, _ in padded]))
+        m = jnp.asarray(np.stack([x for _, x in padded]))
+        return p, m
+
+    # Stream windows of batch_size+1 frames (one frame of overlap carries
+    # the boundary covariance) — a full KITTI sequence at once would need
+    # O(F * N) HBM for points + covariances (~28 GB at 4500 frames).
+    n_pairs = len(clouds) - 1
     deltas = []
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (batch_size, 4, 4))
     for s in range(0, n_pairs, batch_size):
         e = min(s + batch_size, n_pairs)
-        sl_src = slice(s + 1, e + 1)  # sources: frames 1..n
-        sl_tgt = slice(s, e)  # targets: frames 0..n-1
         b = e - s
+        pts, msk = window(s)  # frames s .. s+batch_size (clamped)
+        cw = cov_fn(pts, msk)
+        idx = np.arange(b)
         if b < batch_size:  # pad the final batch to the compiled shape
-            pad_idx = jnp.concatenate(
-                [jnp.arange(s, e), jnp.full(batch_size - b, e - 1)]
-            )
-            res = vgicp_align_batch(
-                pts[pad_idx + 1], msk[pad_idx + 1], covs[pad_idx + 1],
-                pts[pad_idx], msk[pad_idx], covs[pad_idx], eye, config,
-            )
-            deltas.append(np.asarray(res.transformation)[:b])
-        else:
-            res = vgicp_align_batch(
-                pts[sl_src], msk[sl_src], covs[sl_src],
-                pts[sl_tgt], msk[sl_tgt], covs[sl_tgt], eye, config,
-            )
-            deltas.append(np.asarray(res.transformation))
+            idx = np.concatenate([idx, np.full(batch_size - b, b - 1)])
+        idx = jnp.asarray(idx)
+        res = vgicp_align_batch(
+            pts[idx + 1], msk[idx + 1], cw[idx + 1],
+            pts[idx], msk[idx], cw[idx], eye, config,
+        )
+        deltas.append(np.asarray(res.transformation)[:b])
 
     poses = [np.eye(4)]
     for d in np.concatenate(deltas, axis=0):
@@ -166,6 +165,7 @@ def run_odometry_stream(
     cov_fn = rbf_covariances_jit if covariance == "rbf" else knn_covariances_jit
 
     live_counts = []
+    out_counts = []
     out_cap = None
     if on_device_downsample:
         # Device path needs every raw scan up front (bucket/grid sizing).
@@ -209,8 +209,9 @@ def run_odometry_stream(
         def frames():
             for scan in scans:
                 p, m = pad_points(scan, raw_bucket)
-                pts, msk, n_live = ds_jit(jnp.asarray(p), jnp.asarray(m))
+                pts, msk, n_live, n_out = ds_jit(jnp.asarray(p), jnp.asarray(m))
                 live_counts.append(n_live)
+                out_counts.append(n_out)
                 yield pts, msk
 
     else:
@@ -246,6 +247,13 @@ def run_odometry_stream(
             warnings.warn(
                 f"device downsample overflowed its {out_cap}-voxel bucket "
                 f"(max {overflow} occupied voxels); tail voxels were dropped"
+            )
+        dropped = int(max(jax.device_get(out_counts)))
+        if dropped:
+            warnings.warn(
+                f"device downsample dropped up to {dropped} points/frame "
+                f"outside the static grid; size the grid over more frames "
+                f"or use the host downsample"
             )
     return poses
 

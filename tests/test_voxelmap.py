@@ -219,9 +219,10 @@ def test_device_downsample_matches_reference(rng):
     padded[:700] = pts
     mask = np.zeros(768, bool)
     mask[:700] = True
-    got, valid, n_live = device_downsample(
+    got, valid, n_live, n_out = device_downsample(
         jnp.asarray(padded), jnp.asarray(mask), res, 768, (48, 48, 48)
     )
+    assert int(n_out) == 0
     got = np.asarray(got)[np.asarray(valid)]
     ref = _ref_voxels(pts, res)  # dict reference with the map convention
     assert len(got) == len(ref) == int(n_live)
