@@ -58,7 +58,7 @@ def main() -> None:
     result = one_registration()
     T = np.asarray(result.transformation)
 
-    n_iters = 30
+    n_iters = 50
     t0 = time.perf_counter()
     results = [one_registration() for _ in range(n_iters)]
     np.asarray(results[-1].transformation)  # force the chain
