@@ -61,7 +61,7 @@ def main():
     reg = vgicp_register(
         sp, sm, tp, tm, coarse.transformation,
         VGICPConfig(resolution=1.0, grid_dims=auto_grid_dims(c0, 1.0)),
-    )
+    )  # see also fast_gicp_tpu.vgicp_align_multires for the same recipe
     closure = np.asarray(reg.transformation, np.float32)
     closure_info = np.asarray(reg.hessian, np.float32)
     print(f"closure: coarse NDT conv={bool(coarse.converged)}, "

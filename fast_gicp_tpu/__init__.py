@@ -39,6 +39,7 @@ from .models.vgicp import (
     FastVGICPCuda,
     VGICPConfig,
     vgicp_align,
+    vgicp_align_multires,
     vgicp_evaluate,
     vgicp_register,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "FastVGICPCuda",
     "VGICPConfig",
     "vgicp_align",
+    "vgicp_align_multires",
     "vgicp_evaluate",
     "vgicp_register",
     "NDT",

@@ -263,6 +263,38 @@ def vgicp_register(
     )
 
 
+def vgicp_align_multires(
+    source,
+    source_mask,
+    source_covs,
+    target,
+    target_mask,
+    target_covs,
+    guess,
+    resolutions=(4.0, 1.0),
+    config: VGICPConfig = VGICPConfig(),
+) -> LsqResult:
+    """Coarse-to-fine VGICP: run the align at each resolution in order,
+    feeding each level's pose to the next.
+
+    Single-resolution VGICP at r converges from guesses within roughly one
+    voxel (~r meters); chaining a coarse level first widens the basin to the
+    coarsest resolution — the standard recipe for loop closures and
+    relocalization where the initial guess can be meters off.  Each level is
+    the ordinary jitted `vgicp_align` (one compile per distinct resolution).
+    """
+    result = None
+    x = guess
+    for r in resolutions:
+        level = config._replace(resolution=float(r))
+        result = vgicp_align(
+            source, source_mask, source_covs,
+            target, target_mask, target_covs, x, level,
+        )
+        x = result.transformation
+    return result
+
+
 @dataclass
 class FastVGICP(Registration):
     """Class-API VGICP; also hosts the CUDA variant's covariance selector

@@ -207,3 +207,34 @@ def test_save_pcd_roundtrip(tmp_path, rng):
         save_pcd(str(p), pts, binary=binary)
         back = load_pcd(str(p))
         np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+def test_multires_widens_basin(pair_coarse):
+    """Coarse-to-fine VGICP converges from a guess single-res VGICP cannot
+    handle (several meters off)."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu import VGICPConfig, se3, vgicp_align, vgicp_align_multires
+    from fast_gicp_tpu.ops.covariance import knn_covariances
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    source, target, gt = pair_coarse
+    sp, sm = map(jnp.asarray, pad_points(source, 1024))
+    tp, tm = map(jnp.asarray, pad_points(target, 1024))
+    scovs = knn_covariances(sp, sm)
+    tcovs = knn_covariances(tp, tm)
+    bad_guess = jnp.asarray(
+        np.asarray(se3.se3_exp(jnp.asarray(np.float32([0, 0, 0.15, 3.0, 2.0, 0])))),
+        jnp.float32,
+    )
+    single = vgicp_align(sp, sm, scovs, tp, tm, tcovs, bad_guess,
+                         VGICPConfig(resolution=1.0))
+    multi = vgicp_align_multires(sp, sm, scovs, tp, tm, tcovs, bad_guess,
+                                 resolutions=(8.0, 2.0, 1.0),
+                                 config=VGICPConfig())
+    t_single, _ = pose_error(gt.astype(np.float32),
+                             np.asarray(single.transformation))
+    t_multi, _ = pose_error(gt.astype(np.float32),
+                            np.asarray(multi.transformation))
+    assert float(t_multi) < T_TOL, float(t_multi)
+    assert float(t_multi) < float(t_single)
