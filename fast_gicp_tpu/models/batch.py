@@ -57,7 +57,8 @@ def vgicp_align_batch(
 
     def one(sp, sm, sc, tp, tm, tc, g):
         vmap_ = build_voxelmap(
-            tp, tm, config.resolution, covs=tc, mode=config.voxel_accumulation
+            tp, tm, config.resolution, covs=tc,
+            mode=config.voxel_accumulation, grid_dims=config.grid_dims,
         )
         lin, err = make_vgicp_objective(sp, sm, sc, vmap_, offsets, config)
         return lsq_solve(lin, err, g, config.lsq)
@@ -80,11 +81,15 @@ def ndt_align_batch(
     )
 
     def one(sp, sm, tp, tm, g):
-        target_vm = _ndt_voxelmap(tp, tm, config.resolution)
+        target_vm = _ndt_voxelmap(
+            tp, tm, config.resolution, grid_dims=config.grid_dims
+        )
         if config.distance_mode == "p2d":
             lin, err = make_ndt_objective(sp, sm, None, target_vm, offsets, config)
         else:
-            source_vm = _ndt_voxelmap(sp, sm, config.resolution)
+            source_vm = _ndt_voxelmap(
+                sp, sm, config.resolution, grid_dims=config.grid_dims
+            )
             lin, err = make_ndt_objective(
                 source_vm.means, source_vm.counts > 0, source_vm.covs,
                 target_vm, offsets, config,

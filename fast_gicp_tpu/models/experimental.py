@@ -26,11 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import soa
-from ..ops.covariance import knn_covariances_jit
 from ..ops.neighbors import knn_search
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
-from .base import Cloud, Registration
+from .base import Cloud, Registration, estimate_covariances
 from .gicp import _psum
 
 
@@ -149,13 +148,9 @@ class FastGICPMultiPoints(Registration):
         del n
 
     def _ensure_covariances(self, cloud: Cloud) -> None:
-        if cloud.covs is None:
-            cloud.covs = knn_covariances_jit(
-                cloud.points,
-                cloud.mask,
-                k=self.k_correspondences,
-                method=self.regularization,
-            )
+        estimate_covariances(
+            cloud, "knn", self.k_correspondences, self.regularization
+        )
 
     def _config(self) -> MultiPointConfig:
         return MultiPointConfig(

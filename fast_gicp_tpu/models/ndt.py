@@ -70,7 +70,7 @@ def make_ndt_objective(
     src_means,
     src_mask,
     src_covs,  # None for P2D
-    vmap: VoxelMap,
+    vmap,  # VoxelMap or GridVoxelMap
     offsets,
     config: NDTConfig,
     axis_name=None,

@@ -93,14 +93,25 @@ def knn_search(points: np.ndarray, queries: np.ndarray, k: int,
     idx = np.empty((nq, k), np.int32)
     dist = np.empty((nq, k), np.float32)
     if lib is None:
-        # numpy fallback (exact, O(N*Q))
-        d = (
-            np.einsum("ij,ij->i", queries, queries)[:, None]
-            - 2.0 * queries @ points.T
-            + np.einsum("ij,ij->i", points, points)[None, :]
-        )
-        idx[:] = np.argsort(d, axis=1)[:, :k]
-        dist[:] = np.maximum(np.take_along_axis(d, idx, axis=1), 0.0)
+        # numpy fallback: exact, chunked over queries (a full Q x N distance
+        # matrix for a raw KITTI scan would be ~57 GB) with argpartition
+        # instead of a full row sort.
+        p_sq = np.einsum("ij,ij->i", points, points)[None, :]
+        chunk = max(1, min(4096, nq))
+        for lo in range(0, nq, chunk):
+            q = queries[lo : lo + chunk]
+            d = (
+                np.einsum("ij,ij->i", q, q)[:, None]
+                - 2.0 * q @ points.T
+                + p_sq
+            )
+            part = np.argpartition(d, min(k, d.shape[1] - 1), axis=1)[:, :k]
+            dp = np.take_along_axis(d, part, axis=1)
+            order = np.argsort(dp, axis=1)
+            idx[lo : lo + chunk] = np.take_along_axis(part, order, axis=1)
+            dist[lo : lo + chunk] = np.maximum(
+                np.take_along_axis(dp, order, axis=1), 0.0
+            )
         return idx, dist
     lib.knn_search(_f32p(points), points.shape[0], _f32p(queries), nq, k,
                    n_threads, _i32p(idx), _f32p(dist))

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from . import linalg3, pallas_kernels
-from .neighbors import knn_search
+from .neighbors import _pick_chunk, knn_search
 
 from ..precision import f32_matmuls
 
@@ -83,13 +83,18 @@ def knn_covariances(
     uses the TPU-native approx_min_k neighbor search (~98% recall) — the
     covariance statistic is insensitive to the tail neighbors.
     """
-    idx, _ = knn_search(
+    idx, sq = knn_search(
         points, points, mask, k=k, chunk_size=chunk_size, approx=approx
     )
+    # Clouds with fewer than k valid points return masked sentinels (huge
+    # distances) among the k; weight them out or the zero padding they
+    # index would drag every covariance toward the origin.
+    w = (sq < 1e17).astype(points.dtype)  # (N, k)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     nbrs = points[idx]  # (N, k, 3)
-    mean = jnp.mean(nbrs, axis=1)
-    centered = nbrs - mean[:, None, :]
-    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    mean = jnp.einsum("nk,nki->ni", w, nbrs) / cnt[:, None]
+    centered = (nbrs - mean[:, None, :]) * w[:, :, None]
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / cnt[:, None, None]
     return regularize_covariances(cov, method)
 
 
@@ -127,7 +132,7 @@ def rbf_covariances(
         mean = sum_wx / sum_w
         cov = (sum_wxx - mean[:, :, None] * sum_wx[:, None, :]) / sum_w[..., None]
         return regularize_covariances(linalg3.symmetrize(cov), method)
-    chunk_size = min(chunk_size, n)
+    chunk_size = _pick_chunk(n, chunk_size)
     x = points
     # Moment features: [1, x, vec(x x^T)] -> 13 columns.
     outer = (x[:, :, None] * x[:, None, :]).reshape(n, 9)

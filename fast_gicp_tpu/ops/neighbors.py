@@ -31,10 +31,18 @@ def _masked_target(target, target_mask):
     return jnp.where(target_mask[:, None], target, MASK_COORD)
 
 
+def _pick_chunk(n, chunk_size):
+    """Largest divisor of n that is <= chunk_size (gcd-based): buckets are
+    2048-multiples so this normally returns chunk_size unchanged, but any
+    custom bucket still gets a valid (possibly smaller) chunk instead of a
+    trace-time ValueError."""
+    import math
+
+    return max(1, math.gcd(n, chunk_size))
+
+
 def _chunked(points, chunk_size):
     n = points.shape[0]
-    if n % chunk_size != 0:
-        raise ValueError(f"point count {n} not a multiple of chunk {chunk_size}")
     return points.reshape(n // chunk_size, chunk_size, 3)
 
 
@@ -50,7 +58,7 @@ def nn_search(query, target, target_mask, chunk_size: int = 2048):
 
     if pallas_kernels.supported(nq, target.shape[0]):
         return pallas_kernels.nn_search_pallas(query, target, target_mask)
-    chunk_size = min(chunk_size, nq)
+    chunk_size = _pick_chunk(nq, chunk_size)
     tgt = _masked_target(target, target_mask)
     t_sq = jnp.sum(tgt * tgt, axis=-1)
 
@@ -89,7 +97,7 @@ def knn_search(
     indistinguishable.
     """
     nq = query.shape[0]
-    chunk_size = min(chunk_size, nq)
+    chunk_size = _pick_chunk(nq, chunk_size)
     tgt = _masked_target(target, target_mask)
     t_sq = jnp.sum(tgt * tgt, axis=-1)
 

@@ -31,9 +31,9 @@ Performance notes (measured on TPU v5e, 16k points):
     by per-step grid overhead, not compute.
 
 Layout: point clouds are passed transposed as (8, N) f32 — rows 0..2 are
-x,y,z, row 3 is the squared norm (+BIG for masked points), rows 4..7 pad the
-sublane dim — so the lane (last) dimension is the large one, matching the
-f32 (8, 128) tile.  Grids iterate (query tile) x (target tile) with the
+x,y,z (masked points parked at MASK_COORD), rows 3..7 pad the sublane dim —
+so the lane (last) dimension is the large one, matching the f32 (8, 128)
+tile.  Grids iterate (query tile) x (target tile) with the
 target axis innermost; outputs revisit the same block across the inner axis
 (sequential on TPU), accumulating in place.
 
@@ -69,12 +69,13 @@ def supported(*sizes) -> bool:
 
 
 def _prep_transposed(points, mask):
-    """(N, 3) + mask -> (8, N) layout [x, y, z, |p|^2 or BIG, 0...]."""
+    """(N, 3) + mask -> (8, N) layout [x, y, z, 0...]: coordinate rows plus
+    sublane padding to the f32 (8, 128) tile; masked points are parked at
+    MASK_COORD so their distances are huge everywhere."""
     n = points.shape[0]
     xyz = jnp.where(mask[:, None], points, MASK_COORD).T  # (3, N)
-    sq = jnp.sum(xyz * xyz, axis=0, keepdims=True)  # (1, N)
-    pad = jnp.zeros((4, n), points.dtype)
-    return jnp.concatenate([xyz, sq, pad], axis=0)
+    pad = jnp.zeros((5, n), points.dtype)
+    return jnp.concatenate([xyz, pad], axis=0)
 
 
 def _sq_dists(q, t):
