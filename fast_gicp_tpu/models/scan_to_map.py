@@ -81,6 +81,43 @@ def empty_map(capacity: int, resolution: float, table_factor: int = 8) -> MapSta
     )
 
 
+def grow_map(state: MapState, new_capacity: int) -> MapState:
+    """Migrate the map into a larger allocation (one-time O(new_capacity)).
+
+    TPU scatters cost ~45 ns per OPERAND row regardless of update count, so
+    per-frame update cost is O(capacity): a map sized for the worst case up
+    front taxes every frame. Start small and grow (2x) as voxels accumulate
+    — `ScanToMapOdometry` does this automatically.
+    """
+    from ..ops.voxelmap import _build_table
+
+    old_capacity = state.sums.shape[0]
+    if new_capacity <= old_capacity:
+        return state
+    table_size = next_pow2(8 * new_capacity)
+    sums = jnp.zeros((new_capacity, 13), jnp.float32).at[:old_capacity].set(
+        state.sums
+    )
+    coords = jnp.zeros((new_capacity, 3), jnp.int32).at[:old_capacity].set(
+        state.coords
+    )
+    table = _build_table(
+        coords, state.num_voxels, new_capacity, table_size, MAX_PROBE
+    )
+    safe_t = jnp.maximum(table, 0) * (table != _EMPTY)
+    lut_coords = jnp.where(
+        (table != _EMPTY)[:, None], coords[safe_t], _COORD_SENTINEL
+    )
+    lut = jnp.concatenate([table[:, None], lut_coords], axis=1)
+    return MapState(
+        sums=sums,
+        coords=coords,
+        lut=lut,
+        num_voxels=state.num_voxels,
+        resolution=state.resolution,
+    )
+
+
 @partial(jax.jit, donate_argnums=(0,))
 @f32_matmuls
 def update_map(state: MapState, points_world, covs_world, mask) -> MapState:
@@ -258,7 +295,12 @@ def map_as_voxelmap(state: MapState, max_weight_points: float = 25.0) -> VoxelMa
 
 class ScanToMapConfig(NamedTuple):
     resolution: float = 1.0
-    capacity: int = 1 << 17  # persistent map voxels
+    # INITIAL map allocation; the odometry driver grows it 2x whenever the
+    # map passes 70% full (update cost is O(capacity) per frame — TPU
+    # scatters pay ~45 ns per operand row — so right-sizing matters).
+    capacity: int = 1 << 15
+    max_capacity: int = 1 << 21
+    grow_check_every: int = 32  # frames between (synchronizing) fill checks
     # direct1 (the reference's own VGICP default): measured 2.5x faster AND
     # 2.4x more accurate than direct7 against the persistent map (the
     # 7-offset objective reject-storms the LM; see tools/odometry_bench).
@@ -376,6 +418,24 @@ class ScanToMapOdometry:
         self.state = empty_map(config.capacity, config.resolution)
         self._poses_dev = []  # device-side (4, 4) f32 pose chain
         self._last_delta = jnp.eye(4, dtype=jnp.float32)
+        self._frames_since_check = 0
+        self._bucket = None  # sticky padding bucket (avoids recompile storms)
+
+    def _maybe_grow(self) -> None:
+        """Grow the map 2x when >70% full (checked every grow_check_every
+        frames; the check synchronizes, so it is amortized)."""
+        self._frames_since_check += 1
+        if self._frames_since_check < self.config.grow_check_every:
+            return
+        self._frames_since_check = 0
+        capacity = self.state.sums.shape[0]
+        if capacity >= self.config.max_capacity:
+            return
+        nv = int(jax.device_get(self.state.num_voxels))
+        if nv > 0.7 * capacity:
+            self.state = grow_map(
+                self.state, min(capacity * 2, self.config.max_capacity)
+            )
 
     def _covs(self, points, mask):
         from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
@@ -407,9 +467,15 @@ class ScanToMapOdometry:
         synchronizing (pipelines across frames)."""
         import numpy as np
 
-        from ..utils.padding import pad_points
+        from ..utils.padding import bucket_size, pad_points
 
-        padded, mask_np = pad_points(np.asarray(scan))
+        scan = np.asarray(scan)
+        # Sticky padding bucket with 25% headroom: scan sizes wander frame
+        # to frame, and every new padded size costs a full recompile of the
+        # covariance/align/update graphs (~5-10 s each on a TPU runtime).
+        if self._bucket is None or len(scan) > self._bucket:
+            self._bucket = bucket_size(int(len(scan) * 1.25))
+        padded, mask_np = pad_points(scan, self._bucket)
         pts = jnp.asarray(padded)
         mask = jnp.asarray(mask_np)
         covs = self._covs(pts, mask)
@@ -442,6 +508,7 @@ class ScanToMapOdometry:
         world_pts, world_covs = _to_world(pose, pts, covs)
         self._fuse(world_pts, world_covs, fuse_mask)
         self._poses_dev.append(pose)
+        self._maybe_grow()
         return pose
 
     def process(self, scan) -> "np.ndarray":

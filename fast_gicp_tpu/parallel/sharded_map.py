@@ -193,3 +193,8 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
         self.state = update_sharded_map(
             self.mesh, self.state, world_pts, world_covs, fuse_mask
         )
+
+    def _maybe_grow(self) -> None:
+        # Sharded shards are fixed-capacity for now (growth would need a
+        # per-shard migration under shard_map); size capacity up front.
+        pass

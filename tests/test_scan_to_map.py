@@ -132,3 +132,41 @@ def test_update_map_no_orphan_rows(rng):
         assert (counts[:nv] > 0).all()
         assert (counts[nv:] == 0).all()
     assert nv <= 64
+
+
+def test_map_growth(rng):
+    """Auto-growth: a small initial map grows 2x when >70% full and keeps
+    all voxel statistics queryable."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry, empty_map, grow_map, update_map,
+        map_as_voxelmap,
+    )
+    from fast_gicp_tpu.ops.voxelmap import lookup_voxels
+
+    # direct grow_map: fill a map, grow, verify lookups still resolve
+    state = empty_map(128, 1.0)
+    pts = jnp.asarray((rng.uniform(size=(256, 3)) * 40 - 20).astype(np.float32))
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (256, 3, 3))
+    state = update_map(state, pts, covs, jnp.ones(256, bool))
+    nv0 = int(state.num_voxels)
+    grown = grow_map(state, 512)
+    assert int(grown.num_voxels) == nv0
+    vm = map_as_voxelmap(grown)
+    ids = np.asarray(lookup_voxels(vm, grown.coords[:nv0]))
+    np.testing.assert_array_equal(np.sort(ids), np.arange(nv0))
+    np.testing.assert_allclose(
+        np.asarray(grown.sums[:nv0]), np.asarray(state.sums[:nv0])
+    )
+
+    # driver-level: growth triggers and odometry stays consistent
+    cfg = ScanToMapConfig(resolution=0.5, capacity=256, max_capacity=4096,
+                          grow_check_every=1)
+    odo = ScanToMapOdometry(cfg, covariance="knn")
+    for i in range(4):
+        shift = np.float32([i * 2.0, 0, 0])
+        odo.process((rng.uniform(size=(512, 3)) * 20 - 10).astype(np.float32)
+                    + shift)
+    assert odo.state.sums.shape[0] > 256  # grew
+    assert all(np.isfinite(p).all() for p in odo.poses)
