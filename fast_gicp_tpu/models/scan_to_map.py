@@ -118,9 +118,10 @@ def grow_map(state: MapState, new_capacity: int) -> MapState:
     )
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("new_cap",))
 @f32_matmuls
-def update_map(state: MapState, points_world, covs_world, mask) -> MapState:
+def update_map(state: MapState, points_world, covs_world, mask,
+               new_cap: int = _NEW_PER_FRAME_CAP) -> MapState:
     """Fuse a registered scan (world frame) into the map.
 
     Additive accumulation like AdditiveGaussianVoxel (fast_vgicp_voxel.hpp:
@@ -167,7 +168,7 @@ def update_map(state: MapState, points_world, covs_world, mask) -> MapState:
     # per update row regardless of hit pattern, and after the first few
     # frames only a few hundred voxels per scan are new — running the claim
     # loop and lut writes over all N rows costs ~10x the whole update.
-    new_cap = _NEW_PER_FRAME_CAP
+    new_cap = min(new_cap, n)
     (cand,) = jnp.nonzero(is_new, size=new_cap, fill_value=n - 1)
     n_new = jnp.sum(is_new.astype(jnp.int32))
     cand_valid = jnp.arange(new_cap, dtype=jnp.int32) < jnp.minimum(
@@ -301,6 +302,10 @@ class ScanToMapConfig(NamedTuple):
     capacity: int = 1 << 15
     max_capacity: int = 1 << 21
     grow_check_every: int = 32  # frames between (synchronizing) fill checks
+    # Static bound on NEW voxels admitted per frame (compaction size for the
+    # claim/commit scatters; scatter cost scales with update count). Frames
+    # discovering more admit the first N and retry the rest next frame.
+    new_per_frame_capacity: int = 16384
     # direct1 (the reference's own VGICP default): measured 2.5x faster AND
     # 2.4x more accurate than direct7 against the persistent map (the
     # 7-offset objective reject-storms the LM; see tools/odometry_bench).
@@ -460,7 +465,10 @@ class ScanToMapOdometry:
         return align_to_map(self.state, pts, mask, covs, guess, self.config)
 
     def _fuse(self, world_pts, world_covs, fuse_mask):
-        self.state = update_map(self.state, world_pts, world_covs, fuse_mask)
+        self.state = update_map(
+            self.state, world_pts, world_covs, fuse_mask,
+            new_cap=self.config.new_per_frame_capacity,
+        )
 
     def process_async(self, scan):
         """Feed one (N, 3) scan; returns the pose as a DEVICE array without

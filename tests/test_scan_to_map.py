@@ -170,3 +170,31 @@ def test_map_growth(rng):
                     + shift)
     assert odo.state.sums.shape[0] > 256  # grew
     assert all(np.isfinite(p).all() for p in odo.poses)
+
+
+def test_gate_pose_semantics():
+    """Tracking gate: accepts near+converged+live, rejects far / NaN /
+    unconverged / dead-objective poses (accept-form NaN handling)."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.scan_to_map import _gate_pose
+
+    eye = jnp.eye(4, dtype=jnp.float32)
+    near = eye.at[:3, 3].set(jnp.asarray([0.1, 0.0, 0.0]))
+    far = eye.at[:3, 3].set(jnp.asarray([10.0, 0.0, 0.0]))
+    nan = eye.at[0, 3].set(jnp.nan)
+    t, r = 0.5, 0.2
+    live = jnp.float32(100.0)
+
+    def gate(pose, conv=True, err=live):
+        p, rej = _gate_pose(pose, eye, jnp.asarray(conv), jnp.asarray(err), t, r)
+        return bool(rej), np.asarray(p)
+
+    rej, p = gate(near)
+    assert not rej and np.allclose(p, np.asarray(near))
+    assert gate(far)[0]
+    assert gate(near, conv=False)[0]
+    assert gate(near, err=0.0)[0]  # dead objective = zero correspondences
+    assert gate(near, err=np.nan)[0]
+    rej, p = gate(nan)
+    assert rej and np.isfinite(p).all()  # falls back to the guess
