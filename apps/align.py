@@ -53,6 +53,12 @@ def build_methods(args):
 
     methods["ndt_p2d"] = ndt_p2d
     if args.methods:
+        unknown = set(args.methods) - set(methods)
+        if unknown:
+            raise SystemExit(
+                f"unknown methods {sorted(unknown)}; available: "
+                f"{sorted(methods)}"
+            )
         methods = {k: v for k, v in methods.items() if k in args.methods}
     return methods
 

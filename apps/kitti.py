@@ -86,9 +86,16 @@ def main(argv=None):
             odo.process_async(voxel_downsample(scan, args.downsample))
         poses = odo.poses  # single synchronization
     elif args.mode == "stream":
+        import numpy as np
+
         from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
 
-        dims = auto_grid_dims(scans[0], args.resolution)
+        # size the dense grid over front/middle/back frames, not frame 0
+        # alone (a sequence that opens up later would get clipped)
+        sample = np.concatenate(
+            [scans[0], scans[len(scans) // 2], scans[-1]]
+        )
+        dims = auto_grid_dims(sample, args.resolution)
         config = VGICPConfig(resolution=args.resolution, grid_dims=dims)
         poses = run_odometry_stream(scans, args.downsample, config=config)
     else:

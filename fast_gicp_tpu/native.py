@@ -97,6 +97,8 @@ def knn_search(points: np.ndarray, queries: np.ndarray, k: int,
         # matrix for a raw KITTI scan would be ~57 GB) with argpartition
         # instead of a full row sort.
         p_sq = np.einsum("ij,ij->i", points, points)[None, :]
+        n = points.shape[0]
+        kk = min(k, n)  # clouds smaller than k: repeat the last neighbor
         chunk = max(1, min(4096, nq))
         for lo in range(0, nq, chunk):
             q = queries[lo : lo + chunk]
@@ -105,13 +107,20 @@ def knn_search(points: np.ndarray, queries: np.ndarray, k: int,
                 - 2.0 * q @ points.T
                 + p_sq
             )
-            part = np.argpartition(d, min(k, d.shape[1] - 1), axis=1)[:, :k]
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             dp = np.take_along_axis(d, part, axis=1)
             order = np.argsort(dp, axis=1)
-            idx[lo : lo + chunk] = np.take_along_axis(part, order, axis=1)
-            dist[lo : lo + chunk] = np.maximum(
-                np.take_along_axis(dp, order, axis=1), 0.0
-            )
+            ii = np.take_along_axis(part, order, axis=1)
+            dd = np.maximum(np.take_along_axis(dp, order, axis=1), 0.0)
+            if kk < k:  # pad like the C++ kd-tree does (knn(), degenerate)
+                ii = np.concatenate(
+                    [ii, np.repeat(ii[:, -1:], k - kk, axis=1)], axis=1
+                )
+                dd = np.concatenate(
+                    [dd, np.repeat(dd[:, -1:], k - kk, axis=1)], axis=1
+                )
+            idx[lo : lo + chunk] = ii
+            dist[lo : lo + chunk] = dd
         return idx, dist
     lib.knn_search(_f32p(points), points.shape[0], _f32p(queries), nq, k,
                    n_threads, _i32p(idx), _f32p(dist))

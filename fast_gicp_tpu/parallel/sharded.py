@@ -112,6 +112,7 @@ def vgicp_align_sharded(
         config.resolution,
         covs=target_covs,
         mode=config.voxel_accumulation,
+        grid_dims=config.grid_dims,
     )
     offsets = jnp.asarray(
         neighbor_offsets(config.neighbor_search_method, config.neighbor_search_radius)
@@ -150,14 +151,18 @@ def ndt_align_sharded(
     """NDT align (P2D: raw source points sharded; D2D: source voxels
     sharded), target voxel map replicated."""
     axis = mesh.axis_names[0]
-    target_vm = _ndt_voxelmap(target, target_mask, config.resolution)
+    target_vm = _ndt_voxelmap(
+        target, target_mask, config.resolution, grid_dims=config.grid_dims
+    )
     offsets = jnp.asarray(
         neighbor_offsets(config.neighbor_search_method, config.neighbor_search_radius)
     )
     if config.distance_mode == "p2d":
         src_means, src_mask, src_covs = source, source_mask, None
     else:
-        source_vm = _ndt_voxelmap(source, source_mask, config.resolution)
+        source_vm = _ndt_voxelmap(
+            source, source_mask, config.resolution, grid_dims=config.grid_dims
+        )
         src_means = source_vm.means
         src_mask = source_vm.counts > 0
         src_covs = source_vm.covs

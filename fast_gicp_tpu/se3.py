@@ -105,14 +105,18 @@ def se3_exp(xi):
 
     theta_sq = jnp.sum(omega * omega, axis=-1)
     small = theta_sq < _SMALL_ANGLE_SQ
-    theta = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
+    # double-where: divide by the SANITIZED theta_sq so reverse-mode
+    # gradients through the untaken exact branch stay finite at omega = 0
+    # (the same discipline as so3_log/se3_log).
+    ts_safe = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(ts_safe)
 
     R = so3_exp(omega)
     W = skew(omega)
     W_sq = W @ W
 
-    a = (1.0 - jnp.cos(theta)) / theta_sq
-    b = (theta - jnp.sin(theta)) / (theta_sq * theta)
+    a = (1.0 - jnp.cos(theta)) / ts_safe
+    b = (theta - jnp.sin(theta)) / (ts_safe * theta)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     V_exact = eye + a[..., None, None] * W + b[..., None, None] * W_sq
     V = jnp.where(small[..., None, None], R, V_exact)

@@ -20,12 +20,20 @@ def voxel_downsample(points: np.ndarray, resolution: float) -> np.ndarray:
     if resolution is None or resolution <= 0:
         return np.ascontiguousarray(points[:, :3], dtype=np.float32)
     pts = np.asarray(points[:, :3], dtype=np.float64)
+    pts = pts[np.isfinite(pts).all(axis=1)]  # NaN/inf returns poison keys
+    if len(pts) == 0:
+        return np.zeros((0, 3), np.float32)
     coords = np.floor(pts / resolution).astype(np.int64)
-    # Pack 3x21-bit (re-based) coords into one int64 key for np.unique.
     cmin = coords.min(axis=0)
     c = coords - cmin
-    key = (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]
-    uniq, inv = np.unique(key, return_inverse=True)
+    if int(c.max(initial=0)) < (1 << 21):
+        # Pack 3x21-bit (re-based) coords into one int64 key for np.unique.
+        key = (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]
+        uniq, inv = np.unique(key, return_inverse=True)
+    else:
+        # span exceeds 21 bits/axis: exact (slower) row-wise unique
+        uniq, inv = np.unique(c, axis=0, return_inverse=True)
+        uniq = np.arange(len(uniq))
     sums = np.zeros((uniq.shape[0], 3), dtype=np.float64)
     np.add.at(sums, inv, pts)
     counts = np.bincount(inv, minlength=uniq.shape[0]).astype(np.float64)

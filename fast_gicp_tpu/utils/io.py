@@ -18,7 +18,10 @@ def load_pcd(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         header = {}
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
+            raw_line = f.readline()
+            if not raw_line:  # EOF before DATA -> truncated/non-PCD file
+                raise ValueError(f"truncated or invalid PCD header: {path}")
+            line = raw_line.decode("ascii", errors="replace").strip()
             if line.startswith("#") or not line:
                 continue
             key, _, rest = line.partition(" ")
@@ -44,9 +47,12 @@ def load_pcd(path: str) -> np.ndarray:
         if data_kind == "binary":
             raw = np.frombuffer(f.read(n_points * dtype.itemsize), dtype=dtype)
         elif data_kind == "ascii":
-            raw = np.loadtxt(f, dtype=np.float64, max_rows=n_points)
-            xyz = raw[:, [fields.index("x"), fields.index("y"), fields.index("z")]]
-            return np.ascontiguousarray(xyz, dtype=np.float32)
+            raw = np.loadtxt(f, dtype=np.float64, max_rows=n_points, ndmin=2)
+            # column offset of each field = prefix sum of COUNTs (a COUNT>1
+            # field before x/y/z shifts the coordinate columns)
+            col = np.concatenate([[0], np.cumsum(counts)])
+            cols = [int(col[fields.index(a)]) for a in ("x", "y", "z")]
+            return np.ascontiguousarray(raw[:, cols], dtype=np.float32)
         else:
             raise ValueError(f"unsupported PCD DATA kind: {data_kind}")
 

@@ -113,3 +113,15 @@ def test_orthonormalize_fixed_point_and_projection(rng):
     R = out[:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
     np.testing.assert_allclose(out[:3, 3], T[:3, 3], atol=1e-7)
+
+
+def test_se3_exp_reverse_mode_at_zero():
+    """grad through se3_exp at the identity twist must be finite (the
+    standard linearization point)."""
+    import jax
+
+    def f(xi):
+        return jnp.sum(se3.se3_exp(xi) ** 2)
+
+    g = jax.grad(f)(jnp.zeros(6, jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
