@@ -81,6 +81,36 @@ def empty_map(capacity: int, resolution: float, table_factor: int = 8) -> MapSta
     )
 
 
+def save_map(path: str, state: MapState) -> None:
+    """Checkpoint the persistent map to an .npz (the reference has no
+    checkpoint/resume at all, SURVEY.md §5; this enables map-then-localize
+    workflows and crash recovery)."""
+    import numpy as np
+
+    np.savez_compressed(
+        path,
+        sums=np.asarray(state.sums),
+        coords=np.asarray(state.coords),
+        lut=np.asarray(state.lut),
+        num_voxels=np.asarray(state.num_voxels),
+        resolution=np.asarray(state.resolution),
+    )
+
+
+def load_map(path: str) -> MapState:
+    """Restore a map checkpoint written by `save_map`."""
+    import numpy as np
+
+    z = np.load(path)
+    return MapState(
+        sums=jnp.asarray(z["sums"]),
+        coords=jnp.asarray(z["coords"]),
+        lut=jnp.asarray(z["lut"]),
+        num_voxels=jnp.asarray(z["num_voxels"]),
+        resolution=jnp.asarray(z["resolution"]),
+    )
+
+
 def grow_map(state: MapState, new_capacity: int) -> MapState:
     """Migrate the map into a larger allocation (one-time O(new_capacity)).
 
@@ -417,10 +447,16 @@ class ScanToMapOdometry:
     """
 
     def __init__(self, config: ScanToMapConfig = ScanToMapConfig(),
-                 covariance: str = "rbf"):
+                 covariance: str = "rbf", initial_map: MapState = None):
         self.config = config
         self.covariance = covariance
-        self.state = empty_map(config.capacity, config.resolution)
+        # initial_map: resume from a `save_map` checkpoint (map-then-localize
+        # workflows); its resolution overrides config.resolution.
+        self.state = (
+            initial_map
+            if initial_map is not None
+            else empty_map(config.capacity, config.resolution)
+        )
         self._poses_dev = []  # device-side (4, 4) f32 pose chain
         self._last_delta = jnp.eye(4, dtype=jnp.float32)
         self._frames_since_check = 0
@@ -525,3 +561,8 @@ class ScanToMapOdometry:
         import numpy as np
 
         return np.asarray(self.process_async(scan), dtype=np.float64)
+
+    def save(self, path: str) -> None:
+        """Checkpoint the map (poses are host state — persist them with
+        utils.kitti.save_poses_kitti if needed)."""
+        save_map(path, self.state)

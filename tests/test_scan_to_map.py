@@ -198,3 +198,32 @@ def test_gate_pose_semantics():
     assert gate(near, err=np.nan)[0]
     rej, p = gate(nan)
     assert rej and np.isfinite(p).all()  # falls back to the guess
+
+
+def test_map_save_load_roundtrip(tmp_path, rng):
+    """Checkpoint/resume: a saved map localizes a new scan identically."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry, load_map, save_map,
+    )
+
+    scans, gt = _trajectory_scans(np.random.default_rng(5), n_frames=3)
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+    odo = ScanToMapOdometry(cfg, covariance="knn")
+    for s in scans[:2]:
+        odo.process(s)
+    path = str(tmp_path / "map.npz")
+    odo.save(path)
+
+    resumed = ScanToMapOdometry(cfg, covariance="knn",
+                                initial_map=load_map(path))
+    # seed pose chain/velocity as the original had
+    resumed._poses_dev = list(odo._poses_dev)
+    resumed._last_delta = odo._last_delta
+    p_orig = odo.process(scans[2])
+    p_res = resumed.process(scans[2])
+    np.testing.assert_allclose(p_res, p_orig, atol=1e-5)
