@@ -35,7 +35,7 @@ def main(argv=None):
     parser.add_argument("data_dir", help="directory of KITTI .bin scans")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--mode",
-                        choices=("serial", "stream", "batched", "map"),
+                        choices=("serial", "stream", "scan", "batched", "map"),
                         default="stream")
     parser.add_argument("--downsample", type=float, default=0.25)
     parser.add_argument("--batch", type=int, default=16)
@@ -85,6 +85,18 @@ def main(argv=None):
         for scan in scans:
             odo.process_async(voxel_downsample(scan, args.downsample))
         poses = odo.poses  # single synchronization
+    elif args.mode == "scan":
+        import numpy as np
+
+        from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+        from fast_gicp_tpu.utils.kitti import run_odometry_scan
+
+        sample = np.concatenate(
+            [scans[0], scans[len(scans) // 2], scans[-1]]
+        )
+        dims = auto_grid_dims(sample, args.resolution)
+        config = VGICPConfig(resolution=args.resolution, grid_dims=dims)
+        poses = run_odometry_scan(scans, args.downsample, config=config)
     elif args.mode == "stream":
         import numpy as np
 

@@ -128,3 +128,17 @@ def test_stream_odometry_device_downsample_rejects_huge_scene():
     with pytest.raises(ValueError, match="dense grid"):
         run_odometry_stream(scans, downsample_resolution=0.01,
                             on_device_downsample=True)
+
+
+def test_scan_odometry_matches_stream(synthetic_traj):
+    """lax.scan whole-sequence odometry reproduces the stream-mode path."""
+    from fast_gicp_tpu.utils.kitti import run_odometry_scan
+
+    scans, gt_poses = synthetic_traj
+    cfg = VGICPConfig(
+        resolution=1.0, neighbor_search_method="direct7",
+        grid_dims=(64, 64, 32),
+    )
+    poses = run_odometry_scan(scans, downsample_resolution=0.2, config=cfg)
+    assert len(poses) == len(scans)
+    assert ate_rmse(gt_poses, poses) < 0.05
