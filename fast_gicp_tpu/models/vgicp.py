@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import soa
+from ..ops import pallas_linearize, soa
 from ..ops.voxelmap import (
     auto_grid_dims,
     build_voxelmap,
@@ -83,6 +83,7 @@ def make_vgicp_objective(
     P = soa.cols_from_points(source)  # (3, N)
     C_A = soa.sym_cols_from_covs(source_covs)  # (6, N)
     offs = offsets.T[:, :, None]  # (3, K, 1)
+    use_fused = pallas_linearize.supported(n * k)
 
     def _psum(v):
         return v if axis_name is None else jax.lax.psum(v, axis_name)
@@ -96,6 +97,42 @@ def make_vgicp_objective(
         vids = lookup_voxels_cols(vmap, qx, qy, qz)  # (K, N)
         valid = (vids >= 0) & source_mask[None, :]
         return p_t, jnp.maximum(vids, 0), valid
+
+    def _flatten_pt(p_t):
+        """(3, N) -> padded (8, K*N) matching the k-major row flattening."""
+        p_b = jnp.broadcast_to(p_t[None], (k, 3, n))
+        cols = jnp.swapaxes(p_b, 0, 1).reshape(3, k * n)
+        return jnp.concatenate([cols, jnp.zeros((5, k * n), cols.dtype)])
+
+    if use_fused:
+        # Fused Pallas path: the SoA math lowers to ~10 XLA kernels whose
+        # launches dominate at these sizes; one kernel per linearize/error.
+        def linearize(x):
+            p_t, vids, valid = correspondences(x)
+            rows_t = vmap.packed[vids].reshape(k * n, 16).T  # (16, K*N)
+            valid_f = jnp.concatenate(
+                [
+                    valid.reshape(1, k * n).astype(p_t.dtype),
+                    jnp.zeros((7, k * n), p_t.dtype),
+                ]
+            )
+            cr = soa.rotate_sym_cols(x[:3, :3], C_A)  # (6, N), XLA-side
+            cr_flat = jnp.concatenate(
+                [
+                    jnp.broadcast_to(cr[:, None, :], (6, k, n)).reshape(6, k * n),
+                    jnp.zeros((2, k * n), cr.dtype),
+                ]
+            )
+            err, H, b, aux = pallas_linearize.linearize_pallas(
+                _flatten_pt(p_t), cr_flat, rows_t, valid_f,
+            )
+            return _psum(err), _psum(H), _psum(b), aux
+
+        def error(x, aux):
+            p_t = soa.transform_cols(x, P)
+            return _psum(pallas_linearize.error_pallas(_flatten_pt(p_t), aux))
+
+        return linearize, error
 
     def linearize(x):
         R = x[:3, :3]

@@ -1,0 +1,229 @@
+"""Fused Pallas kernels for the per-iteration GICP/VGICP objective math.
+
+The SoA XLA path (ops/soa.py) is algebraically minimal but still lowers to
+~10 separate XLA kernels per linearize/error call; at 16k correspondences
+each call is launch-bound (~0.2 ms of ~20 us launches, >10x the actual
+VPU work).  These kernels fuse everything after the (XLA-side) voxel
+lookup + row gather into ONE kernel each:
+
+  * `linearize_pallas` — covariance rotation R C_A R^T, Mahalanobis
+    inverse, the (err, H, b) 28-row reduction, AND the aux pack (M, w, mu,
+    valid) the LM inner trials reuse — one pass over the correspondences.
+  * `error_pallas` — trial-pose Mahalanobis error against the frozen aux.
+
+Layouts (lane dim = correspondences, like ops/pallas_kernels.py):
+  * p_t, C_A arrive as SoA column stacks padded to 8 sublanes.
+  * gathered voxel rows arrive TRANSPOSED (16, N): [mu(3), cov9, count, ...]
+  * aux pack (16, N): [M(6), w, valid, mu(3), pad...] — written by
+    linearize, read by error.
+  * scalar outputs accumulate into a (8, 32) block revisited across the
+    sequential grid; row 0 holds [err, H(21 sym), b(6)].
+
+Equivalence with soa.linearize_cols / soa.error_cols is pinned by
+tests/test_pallas_linearize.py (run on TPU; CPU tests take the SoA path).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NT = 2048  # lanes per grid step
+
+# aux pack rows
+_AUX_ROWS = 16
+
+
+def supported(n: int) -> bool:
+    import os
+
+    if os.environ.get("FAST_GICP_TPU_NO_FUSED"):  # escape hatch
+        return False
+    return jax.default_backend() == "tpu" and n % _NT == 0
+
+
+def _sym_inv(c00, c01, c02, c11, c12, c22):
+    a00 = c11 * c22 - c12 * c12
+    a01 = c02 * c12 - c01 * c22
+    a02 = c01 * c12 - c02 * c11
+    a11 = c00 * c22 - c02 * c02
+    a12 = c01 * c02 - c00 * c12
+    a22 = c00 * c11 - c01 * c01
+    inv_det = 1.0 / (c00 * a00 + c01 * a01 + c02 * a02)
+    return (a00 * inv_det, a01 * inv_det, a02 * inv_det,
+            a11 * inv_det, a12 * inv_det, a22 * inv_det)
+
+
+def _mahalanobis_core(p0, p1, p2, q0, q1, q2, m):
+    m00, m01, m02, m11, m12, m22 = m
+    e0, e1, e2 = q0 - p0, q1 - p1, q2 - p2
+    me0 = m00 * e0 + m01 * e1 + m02 * e2
+    me1 = m01 * e0 + m11 * e1 + m12 * e2
+    me2 = m02 * e0 + m12 * e1 + m22 * e2
+    err = e0 * me0 + e1 * me1 + e2 * me2
+    return (me0, me1, me2), err
+
+
+def _linearize_kernel(pt_ref, cr_ref, rows_ref, valid_ref,
+                      out_ref, aux_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    p0, p1, p2 = pt_ref[0], pt_ref[1], pt_ref[2]
+    q0, q1, q2 = rows_ref[0], rows_ref[1], rows_ref[2]
+    # gathered voxel cov (rows 3..11 of the packed layout; symmetric-6)
+    cb = (rows_ref[3], rows_ref[4], rows_ref[5],
+          rows_ref[7], rows_ref[8], rows_ref[11])
+    count = rows_ref[12]
+    valid = valid_ref[0]
+
+    # cr_ref: R C_A R^T precomputed in XLA (a vmap/shard-friendly input —
+    # an SMEM scalar rotation input broke under vmap batching)
+    cr = tuple(cr_ref[k] for k in range(6))
+    s = tuple(cb[k] + cr[k] for k in range(6))
+    m = tuple(mk * valid for mk in _sym_inv(*s))
+    m00, m01, m02, m11, m12, m22 = m
+    w = jnp.sqrt(jnp.maximum(count, 0.0)) * valid
+
+    (me0, me1, me2), err_n = _mahalanobis_core(p0, p1, p2, q0, q1, q2, m)
+
+    # G = M skew(p)
+    g00 = m01 * p2 - m02 * p1
+    g10 = m11 * p2 - m12 * p1
+    g20 = m12 * p2 - m22 * p1
+    g01 = m02 * p0 - m00 * p2
+    g11 = m12 * p0 - m01 * p2
+    g21 = m22 * p0 - m02 * p2
+    g02 = m00 * p1 - m01 * p0
+    g12 = m01 * p1 - m11 * p0
+    g22 = m02 * p1 - m12 * p0
+    # H11 = -(skew(p) G), 6 unique
+    h = [
+        err_n,
+        p2 * g10 - p1 * g20, p2 * g11 - p1 * g21, p2 * g12 - p1 * g22,
+        p0 * g21 - p2 * g01, p0 * g22 - p2 * g02, p1 * g02 - p0 * g12,
+        # H12 = skew(p) M (9)
+        p1 * m02 - p2 * m01, p1 * m12 - p2 * m11, p1 * m22 - p2 * m12,
+        p2 * m00 - p0 * m02, p2 * m01 - p0 * m12, p2 * m02 - p0 * m22,
+        p0 * m01 - p1 * m00, p0 * m11 - p1 * m01, p0 * m12 - p1 * m02,
+        # H22 = M (6)
+        m00, m01, m02, m11, m12, m22,
+        # b = [-p x Me; -Me]
+        p2 * me1 - p1 * me2, p0 * me2 - p2 * me0, p1 * me0 - p0 * me1,
+        -me0, -me1, -me2,
+    ]
+    acc = jnp.stack([jnp.sum(w * hk) for hk in h])  # (28,)
+    acc2d = jnp.concatenate([acc, jnp.zeros(4, acc.dtype)]).reshape(1, 32)
+    out_ref[0:1, :] += acc2d  # 2-D store (Mosaic rejects scalar/1-D stores)
+
+    aux_ref[0] = m00
+    aux_ref[1] = m01
+    aux_ref[2] = m02
+    aux_ref[3] = m11
+    aux_ref[4] = m12
+    aux_ref[5] = m22
+    aux_ref[6] = w
+    aux_ref[7] = q0
+    aux_ref[8] = q1
+    aux_ref[9] = q2
+    aux_ref[10] = jnp.zeros_like(p0)
+    aux_ref[11] = jnp.zeros_like(p0)
+    aux_ref[12] = jnp.zeros_like(p0)
+    aux_ref[13] = jnp.zeros_like(p0)
+    aux_ref[14] = jnp.zeros_like(p0)
+    aux_ref[15] = jnp.zeros_like(p0)
+
+
+@jax.jit
+def linearize_pallas(p_t, cov_rot, rows_t, valid_f):
+    """Fused linearize.
+
+    Args:
+      p_t: (8, N) f32 — transformed source columns (rows 0..2 used).
+      cov_rot: (8, N) f32 — R C_A R^T symmetric-6 columns (rows 0..5),
+        rotated in XLA at the linearization point.
+      rows_t: (16, N) f32 — gathered voxel rows, transposed packed layout.
+      valid_f: (8, N) f32 — row 0 is the 0/1 correspondence validity.
+
+    Returns (err (), H (6, 6), b (6,), aux (16, N)).
+    """
+    n = p_t.shape[1]
+    if n % _NT:
+        raise ValueError(f"n={n} not a multiple of {_NT}")
+    grid = (n // _NT,)
+    out, aux = pl.pallas_call(
+        _linearize_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, _NT), lambda i: (0, i)),
+            pl.BlockSpec((8, _NT), lambda i: (0, i)),
+            pl.BlockSpec((16, _NT), lambda i: (0, i)),
+            pl.BlockSpec((8, _NT), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 32), lambda i: (0, 0)),
+            pl.BlockSpec((_AUX_ROWS, _NT), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 32), jnp.float32),
+            jax.ShapeDtypeStruct((_AUX_ROWS, n), jnp.float32),
+        ],
+    )(p_t, cov_rot, rows_t, valid_f)
+    s = out[0]
+    err = s[0]
+    (h00, h01, h02, h11, h12, h22,
+     a00, a01, a02, a10, a11, a12, a20, a21, a22,
+     t00, t01, t02, t11, t12, t22) = (s[k] for k in range(1, 22))
+    b = s[22:28]
+    H = jnp.stack([
+        jnp.stack([h00, h01, h02, a00, a01, a02]),
+        jnp.stack([h01, h11, h12, a10, a11, a12]),
+        jnp.stack([h02, h12, h22, a20, a21, a22]),
+        jnp.stack([a00, a10, a20, t00, t01, t02]),
+        jnp.stack([a01, a11, a21, t01, t11, t12]),
+        jnp.stack([a02, a12, a22, t02, t12, t22]),
+    ])
+    return err, H, b, aux
+
+
+def _error_kernel(pt_ref, aux_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    p0, p1, p2 = pt_ref[0], pt_ref[1], pt_ref[2]
+    m = tuple(aux_ref[k] for k in range(6))
+    w = aux_ref[6]
+    q0, q1, q2 = aux_ref[7], aux_ref[8], aux_ref[9]
+    _, err_n = _mahalanobis_core(p0, p1, p2, q0, q1, q2, m)
+    s = jnp.sum(w * err_n)
+    lane0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1) == 0
+    ).astype(s.dtype)
+    out_ref[0:1, :] += s * lane0  # 2-D store (no scalar stores in Mosaic)
+
+
+@jax.jit
+def error_pallas(p_t, aux):
+    """Fused trial-pose error against the frozen aux pack."""
+    n = p_t.shape[1]
+    if n % _NT:
+        raise ValueError(f"n={n} not a multiple of {_NT}")
+    out = pl.pallas_call(
+        _error_kernel,
+        grid=(n // _NT,),
+        in_specs=[
+            pl.BlockSpec((8, _NT), lambda i: (0, i)),
+            pl.BlockSpec((_AUX_ROWS, _NT), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((8, 32), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, 32), jnp.float32),
+    )(p_t, aux)
+    return out[0, 0]
