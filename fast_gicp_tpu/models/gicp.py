@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import soa
+from ..ops import pallas_linearize, soa
 from ..ops.neighbors import nn_search
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
@@ -69,6 +69,54 @@ def make_gicp_objective(
     ones = jnp.ones(n, source.dtype)
     P = soa.cols_from_points(source)  # (3, N)
     C_A = soa.sym_cols_from_covs(source_covs)  # (6, N)
+    use_fused = pallas_linearize.supported(n)
+
+    if use_fused:
+        # 16-wide packed rows in the voxel layout the fused kernel reads:
+        # [mean(3) | cov 3x3 row-major (9) | count=1 | pad(3)] — count 1
+        # makes the kernel's sqrt(count) weight the GICP unit weight.
+        target_pack16 = jnp.concatenate(
+            [
+                target,
+                target_covs.reshape(-1, 9),
+                jnp.ones((target.shape[0], 1), target.dtype),
+                jnp.zeros((target.shape[0], 3), target.dtype),
+            ],
+            axis=1,
+        )
+
+        def _pad8(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((8 - a.shape[0], n), a.dtype)]
+            )
+
+        def linearize(x):
+            p_t = soa.transform_cols(x, P)
+            idx, sq_dist = nn_search(
+                jnp.swapaxes(p_t, 0, 1), target, target_mask
+            )
+            valid = source_mask & (sq_dist < thr_sq)
+            rows_t = target_pack16[idx].T  # (16, N)
+            cr = soa.rotate_sym_cols(x[:3, :3], C_A)
+            err, H, b, aux = pallas_linearize.linearize_pallas(
+                _pad8(p_t), _pad8(cr), rows_t,
+                _pad8(valid[None, :].astype(p_t.dtype)),
+            )
+            return (
+                _psum(err, axis_name),
+                _psum(H, axis_name),
+                _psum(b, axis_name),
+                aux,
+            )
+
+        def error(x, aux):
+            p_t = soa.transform_cols(x, P)
+            return _psum(
+                pallas_linearize.error_pallas(_pad8(p_t), aux), axis_name
+            )
+
+        return linearize, error
+
     # Packed target rows [mean(3) | sym cov(6) | pad] for one-gather stats.
     target_pack = jnp.concatenate(
         [
