@@ -334,8 +334,10 @@ class ScanToMapConfig(NamedTuple):
     grow_check_every: int = 32  # frames between (synchronizing) fill checks
     # Static bound on NEW voxels admitted per frame (compaction size for the
     # claim/commit scatters; scatter cost scales with update count). Frames
-    # discovering more admit the first N and retry the rest next frame.
-    new_per_frame_capacity: int = 16384
+    # discovering more admit the first N and retry the rest on later frames
+    # (the first scans of a sequence take 2-3 frames to be fully admitted;
+    # steady-state frames discover only a few hundred new voxels).
+    new_per_frame_capacity: int = 4096
     # direct1 (the reference's own VGICP default): measured 2.5x faster AND
     # 2.4x more accurate than direct7 against the persistent map (the
     # 7-offset objective reject-storms the LM; see tools/odometry_bench).
@@ -514,11 +516,12 @@ class ScanToMapOdometry:
         from ..utils.padding import bucket_size, pad_points
 
         scan = np.asarray(scan)
-        # Sticky padding bucket with 25% headroom: scan sizes wander frame
+        # Sticky padding bucket with 10% headroom: scan sizes wander frame
         # to frame, and every new padded size costs a full recompile of the
-        # covariance/align/update graphs (~5-10 s each on a TPU runtime).
+        # covariance/align/update graphs (~5-10 s each on a TPU runtime);
+        # oversizing instead taxes the N^2 covariance stage every frame.
         if self._bucket is None or len(scan) > self._bucket:
-            self._bucket = bucket_size(int(len(scan) * 1.25))
+            self._bucket = bucket_size(int(len(scan) * 1.1))
         padded, mask_np = pad_points(scan, self._bucket)
         pts = jnp.asarray(padded)
         mask = jnp.asarray(mask_np)
