@@ -403,16 +403,20 @@ def _compose(a, b):
 
 @partial(jax.jit, static_argnames=("gate_t", "gate_r"))
 @f32_matmuls
-def _gate_pose(aligned, guess, converged, error, gate_t, gate_r):
+def _gate_pose(aligned, guess, converged, error, hessian, gate_t, gate_r):
     """Tracking gate: accept the aligned pose only if it converged with a
     live objective and sits within (gate_t, gate_r) of the constant-velocity
     prediction; otherwise fall back to the prediction and signal the caller
     to skip fusion.
 
-    The objective-value check catches TOTAL track loss: with zero valid
+    The Hessian-trace check catches TOTAL track loss: with zero valid
     correspondences the normal equations are all-zero, the LM step is
-    exactly identity, and the solve returns the guess "converged" with
-    error == 0 — indistinguishable from success by pose deviation alone.
+    exactly identity, and the solve returns the guess "converged" —
+    indistinguishable from success by pose deviation alone.  trace(H) > 0
+    iff at least one valid correspondence contributed (H22 sums PSD
+    Mahalanobis matrices), unlike `error > 0` which also misfires on a
+    legitimate align that converges to exactly zero residual (identical
+    overlapping geometry).
     """
     d = se3.invert_transform(guess) @ aligned
     t_dev = jnp.linalg.norm(d[:3, 3])
@@ -420,7 +424,8 @@ def _gate_pose(aligned, guess, converged, error, gate_t, gate_r):
     # Accept-form logic: a NaN deviation (lost track, degenerate Hessian)
     # compares False and therefore REJECTS — `bad | (dev > gate)` would
     # accept NaN poses.
-    good = converged & (error > 0.0) & jnp.isfinite(error)
+    alive = jnp.trace(hessian) > 0.0
+    good = converged & alive & jnp.isfinite(error)
     if gate_t is not None:
         good = good & (t_dev <= gate_t)
     if gate_r is not None:
@@ -541,6 +546,7 @@ class ScanToMapOdometry:
             have_velocity = len(self._poses_dev) >= 2
             pose, rejected = _gate_pose(
                 result.transformation, guess, result.converged, result.error,
+                result.hessian,
                 self.config.gate_translation if have_velocity else None,
                 self.config.gate_rotation if have_velocity else None,
             )

@@ -42,6 +42,8 @@ All kernels have jnp reference semantics tested against neighbors.py.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -106,12 +108,15 @@ def _nn_kernel(q_ref, t_ref, idx_ref, dist_ref):
     idx_ref[:, 0] = jnp.where(better, global_arg, idx_ref[:, 0])
 
 
-@jax.jit
-def nn_search_pallas(query, target, target_mask):
+@partial(jax.jit, static_argnames=("interpret",))
+def nn_search_pallas(query, target, target_mask, interpret: bool = False):
     """Fused 1-NN: returns (idx int32 (Nq,), sq_dist f32 (Nq,)).
 
     Query rows may be masked garbage; results for them are arbitrary but
     finite (downstream masks apply, as everywhere in this codebase).
+
+    interpret=True runs the kernel in Pallas interpret mode (CPU CI pins
+    kernel equivalence every run; TPU runs compile the real thing).
     """
     nq, nt = query.shape[0], target.shape[0]
     if nq % _QT or nt % _TT:
@@ -135,6 +140,7 @@ def nn_search_pallas(query, target, target_mask):
             jax.ShapeDtypeStruct((nq, 1), jnp.int32),
             jax.ShapeDtypeStruct((nq, 1), jnp.float32),
         ],
+        interpret=interpret,
     )(qT, tT)
     # Masked targets sit at MASK_COORD -> huge distances, never selected.
     return idx[:, 0], jnp.maximum(dist[:, 0], 0.0)
@@ -163,32 +169,57 @@ def _rbf_kernel(kw_ref, md_ref, q_ref, t_ref, f_ref, out_ref):
     )
 
 
-@jax.jit
-def rbf_moments_pallas(points, mask, kernel_width, max_dist):
+@partial(jax.jit, static_argnames=("interpret",))
+def rbf_moments_pallas(points, mask, kernel_width, max_dist,
+                       interpret: bool = False):
     """Fused RBF moment accumulation: returns (N, 16) where columns are
     [sum_w, sum_w*x (3), sum_w*xx^T (9), pad (3)].
 
     Equivalent math to covariance_estimation_rbf.cu:59-90 with exact
     masking (the reference lets zero-padded points contribute; we don't).
+
+    Precision: the moment matmul runs on the MXU in bfloat16, but the
+    UNCENTERED second moment E[xx] - mu mu^T cancellation would turn
+    bf16's ~0.2% relative feature rounding into ~0.004|x|^2 absolute
+    covariance error (25 m^2 at |x|=80 m — larger than a real neighborhood
+    covariance).  Two measures keep the MXU speed without the error:
+      * coordinates are CENTERED on the cloud's mean before forming the
+        moment features (the weights are translation-invariant; the raw
+        moments are reconstructed about the origin in f32 afterwards);
+      * the 16 feature columns ride as a bf16 hi/lo SPLIT [hi | lo]
+        (f = hi + lo with hi = bf16(f)), giving ~2^-17 effective relative
+        operand precision.  The split doubles the operand width to 32
+        columns, still inside one 128-lane MXU tile — the matmul pass
+        count is unchanged, so this is essentially free.
+    The weight operand stays single bf16: perturbing smooth density
+    weights by 0.4% is a slightly different (equally valid) kernel, not a
+    cancellation error.
     """
     n = points.shape[0]
     if n % _RQT or n % _RTT:
         raise ValueError(f"n={n} not a multiple of ({_RQT},{_RTT})")
-    pT = _prep_transposed(points, mask)
+    f32 = jnp.float32
+    mvalid = mask.astype(f32)
+    center = jnp.sum(points * mvalid[:, None], axis=0) / jnp.maximum(
+        jnp.sum(mvalid), 1.0
+    )
+    y = points - center
+    pT = _prep_transposed(y, mask)
 
-    # Moment features (N, 16): [1, x, y, z, vec(xx^T), 0, 0, 0] — 16 wide to
-    # keep the MXU operand small; masked rows zeroed so they contribute
-    # nothing even when inside max_dist.
-    x = points
-    outer = (x[:, :, None] * x[:, None, :]).reshape(n, 9)
+    # Moment features (N, 16): [1, y, vec(yy^T), 0, 0, 0] about the center;
+    # masked rows zeroed so they contribute nothing even inside max_dist.
+    yv = y * mvalid[:, None]
+    outer = (yv[:, :, None] * yv[:, None, :]).reshape(n, 9)
     feats = jnp.concatenate(
-        [jnp.ones((n, 1), x.dtype), x, outer, jnp.zeros((n, 3), x.dtype)],
+        [jnp.ones((n, 1), f32) * mvalid[:, None], yv, outer,
+         jnp.zeros((n, 3), f32)],
         axis=1,
     )
-    feats = feats * mask[:, None]
+    hi = feats.astype(jnp.bfloat16).astype(f32)
+    feats2 = jnp.concatenate([hi, feats - hi], axis=1)  # (N, 32) [hi | lo]
 
-    kw = jnp.full((1,), kernel_width, jnp.float32)
-    md = jnp.full((1,), max_dist * max_dist, jnp.float32)
+    kw = jnp.full((1,), kernel_width, f32)
+    md = jnp.full((1,), max_dist * max_dist, f32)
 
     grid = (n // _RQT, n // _RTT)
     out = pl.pallas_call(
@@ -199,9 +230,26 @@ def rbf_moments_pallas(points, mask, kernel_width, max_dist):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, _RQT), lambda i, j: (0, i)),
             pl.BlockSpec((8, _RTT), lambda i, j: (0, j)),
-            pl.BlockSpec((_RTT, 16), lambda i, j: (j, 0)),
+            pl.BlockSpec((_RTT, 32), lambda i, j: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((_RQT, 16), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
-    )(kw, md, pT, pT, feats)
-    return out
+        out_specs=pl.BlockSpec((_RQT, 32), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 32), jnp.float32),
+        interpret=interpret,
+    )(kw, md, pT, pT, feats2)
+    m = out[:, :16] + out[:, 16:]  # recombine hi + lo halves (f32)
+
+    # Reconstruct raw moments about the origin (pure f32 — the f32
+    # cancellation here is ~1e-7|x|^2, negligible).
+    s_w = m[:, 0:1]
+    s_wy = m[:, 1:4]
+    s_wyy = m[:, 4:13].reshape(n, 3, 3)
+    s_wx = s_wy + s_w * center[None, :]
+    s_wxx = (
+        s_wyy
+        + center[None, :, None] * s_wy[:, None, :]
+        + s_wy[:, :, None] * center[None, None, :]
+        + s_w[:, :, None] * (center[:, None] * center[None, :])[None]
+    )
+    return jnp.concatenate(
+        [s_w, s_wx, s_wxx.reshape(n, 9), jnp.zeros((n, 3), f32)], axis=1
+    )

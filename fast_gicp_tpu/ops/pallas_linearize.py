@@ -25,6 +25,8 @@ tests/test_pallas_linearize.py (run on TPU; CPU tests take the SoA path).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -45,13 +47,18 @@ def supported(n: int) -> bool:
 
 
 def _sym_inv(c00, c01, c02, c11, c12, c22):
+    # det clamped away from zero like soa.inv_sym_cols: a singular column
+    # otherwise yields 0 * inf = NaN that no downstream mask can remove.
     a00 = c11 * c22 - c12 * c12
     a01 = c02 * c12 - c01 * c22
     a02 = c01 * c12 - c02 * c11
     a11 = c00 * c22 - c02 * c02
     a12 = c01 * c02 - c00 * c12
     a22 = c00 * c11 - c01 * c01
-    inv_det = 1.0 / (c00 * a00 + c01 * a01 + c02 * a02)
+    det = c00 * a00 + c01 * a01 + c02 * a02
+    eps = 1e-18
+    det = jnp.where(jnp.abs(det) < eps, jnp.where(det < 0, -eps, eps), det)
+    inv_det = 1.0 / det
     return (a00 * inv_det, a01 * inv_det, a02 * inv_det,
             a11 * inv_det, a12 * inv_det, a22 * inv_det)
 
@@ -139,8 +146,8 @@ def _linearize_kernel(pt_ref, cr_ref, rows_ref, valid_ref,
     aux_ref[15] = jnp.zeros_like(p0)
 
 
-@jax.jit
-def linearize_pallas(p_t, cov_rot, rows_t, valid_f):
+@partial(jax.jit, static_argnames=("interpret",))
+def linearize_pallas(p_t, cov_rot, rows_t, valid_f, interpret: bool = False):
     """Fused linearize.
 
     Args:
@@ -173,6 +180,7 @@ def linearize_pallas(p_t, cov_rot, rows_t, valid_f):
             jax.ShapeDtypeStruct((8, 32), jnp.float32),
             jax.ShapeDtypeStruct((_AUX_ROWS, n), jnp.float32),
         ],
+        interpret=interpret,
     )(p_t, cov_rot, rows_t, valid_f)
     s = out[0]
     err = s[0]
@@ -210,8 +218,8 @@ def _error_kernel(pt_ref, aux_ref, out_ref):
     out_ref[0:1, :] += s * lane0  # 2-D store (no scalar stores in Mosaic)
 
 
-@jax.jit
-def error_pallas(p_t, aux):
+@partial(jax.jit, static_argnames=("interpret",))
+def error_pallas(p_t, aux, interpret: bool = False):
     """Fused trial-pose error against the frozen aux pack."""
     n = p_t.shape[1]
     if n % _NT:
@@ -225,5 +233,6 @@ def error_pallas(p_t, aux):
         ],
         out_specs=pl.BlockSpec((8, 32), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((8, 32), jnp.float32),
+        interpret=interpret,
     )(p_t, aux)
     return out[0, 0]

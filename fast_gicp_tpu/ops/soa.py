@@ -99,8 +99,16 @@ def rotate_sym_cols(R, C):
     )
 
 
-def inv_sym_cols(C):
-    """Adjugate inverse of symmetric-6 columns (..., 6, N)."""
+def inv_sym_cols(C, eps: float = 1e-18):
+    """Adjugate inverse of symmetric-6 columns (..., 6, N).
+
+    The determinant is clamped away from zero (like linalg3.inv3's eps):
+    a singular column (possible with regularization='none' and collinear
+    neighborhoods) would give inv_det=inf and adjugate 0, whose 0*inf=NaN
+    survives every downstream `* valid` mask and poisons the whole
+    (err, H, b) reduction.  Clamped, the column yields a huge-but-finite
+    M that the validity/weight masking can still zero out.
+    """
     c00, c01, c02, c11, c12, c22 = (C[..., i, :] for i in range(6))
     a00 = c11 * c22 - c12 * c12
     a01 = c02 * c12 - c01 * c22
@@ -108,7 +116,9 @@ def inv_sym_cols(C):
     a11 = c00 * c22 - c02 * c02
     a12 = c01 * c02 - c00 * c12
     a22 = c00 * c11 - c01 * c01
-    inv_det = 1.0 / (c00 * a00 + c01 * a01 + c02 * a02)
+    det = c00 * a00 + c01 * a01 + c02 * a02
+    det = jnp.where(jnp.abs(det) < eps, jnp.where(det < 0, -eps, eps), det)
+    inv_det = 1.0 / det
     return jnp.stack([a00, a01, a02, a11, a12, a22], axis=-2) * inv_det[..., None, :]
 
 

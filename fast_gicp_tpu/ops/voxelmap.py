@@ -381,7 +381,10 @@ def _build_table(vcoords, num_voxels, capacity, table_size, max_probe):
     vids = jnp.arange(capacity, dtype=jnp.int32)
     pending = vids < num_voxels
     slot = (_hash_coords(vcoords) & mask_t).astype(jnp.int32)
-    table = jnp.full(table_size, _EMPTY, jnp.int32)
+    # `+ slot[0] * 0` taints the init table with slot's varying-manual-axes
+    # tag: under shard_map each device builds its own table, and a
+    # replicated-constant init would trip the fori_loop carry vma check.
+    table = jnp.full(table_size, _EMPTY, jnp.int32) + slot[0] * 0
 
     def body(_, state):
         table, slot, pending = state

@@ -39,6 +39,7 @@ from ..models.scan_to_map import (
     ScanToMapConfig,
     ScanToMapOdometry,
     empty_map,
+    grow_map,
     map_as_voxelmap,
     update_map,
 )
@@ -124,6 +125,39 @@ def update_sharded_map(
     return run(state, points_world, covs_world, mask)
 
 
+@partial(jax.jit, static_argnames=("mesh", "new_capacity_per_device"))
+def grow_sharded_map(
+    mesh, state: ShardedMapState, new_capacity_per_device: int
+) -> ShardedMapState:
+    """Migrate every shard into a larger local allocation.
+
+    Growth is pure per-device computation (each shard rebuilds its own lut
+    at the new table size — the TPU analogue of the reference GPU map's
+    grow-on-failure rebuild, gaussian_voxelmap.cu:265-285); no collective
+    is needed because voxel ownership (a pure hash) is unchanged.
+    """
+    axis = mesh.axis_names[0]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(_state_specs(axis),),
+        out_specs=_state_specs(axis),
+    )
+    def run(st):
+        local = _local_state(*st[:4], st.resolution)
+        new = grow_map(local, new_capacity_per_device)
+        return ShardedMapState(
+            sums=new.sums,
+            coords=new.coords,
+            lut=new.lut,
+            num_voxels=new.num_voxels[None],
+            resolution=st.resolution,
+        )
+
+    return run(state)
+
+
 @partial(jax.jit, static_argnames=("mesh", "config"))
 @f32_matmuls
 def align_to_sharded_map(
@@ -195,6 +229,28 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
         )
 
     def _maybe_grow(self) -> None:
-        # Sharded shards are fixed-capacity for now (growth would need a
-        # per-shard migration under shard_map); size capacity up front.
-        pass
+        """Grow every shard 2x when the fullest shard passes 70% (checked
+        every grow_check_every frames; the fill read synchronizes, so it is
+        amortized).  Growth is per-device-local — see grow_sharded_map."""
+        self._frames_since_check += 1
+        if self._frames_since_check < self.config.grow_check_every:
+            return
+        self._frames_since_check = 0
+        d = self.mesh.shape[self.mesh.axis_names[0]]
+        cap_local = self.state.sums.shape[0] // d
+        max_local = max(1, self.config.max_capacity // d)
+        nv = int(jax.device_get(jnp.max(self.state.num_voxels)))
+        if cap_local >= max_local:
+            if nv > 0.95 * cap_local and not getattr(self, "_warned_full", False):
+                self._warned_full = True
+                import warnings
+
+                warnings.warn(
+                    f"sharded map at max capacity ({nv}/{cap_local} voxels "
+                    "on the fullest shard); new voxels will be dropped"
+                )
+            return
+        if nv > 0.7 * cap_local:
+            self.state = grow_sharded_map(
+                self.mesh, self.state, min(cap_local * 2, max_local)
+            )

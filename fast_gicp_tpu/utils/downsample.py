@@ -33,6 +33,9 @@ def voxel_downsample(points: np.ndarray, resolution: float) -> np.ndarray:
     else:
         # span exceeds 21 bits/axis: exact (slower) row-wise unique
         uniq, inv = np.unique(c, axis=0, return_inverse=True)
+        # numpy 2.0.x returns a 2-D inverse from axis-unique; flatten so
+        # add.at/bincount index correctly on every numpy version.
+        inv = np.asarray(inv).reshape(-1)
         uniq = np.arange(len(uniq))
     sums = np.zeros((uniq.shape[0], 3), dtype=np.float64)
     np.add.at(sums, inv, pts)

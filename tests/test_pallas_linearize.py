@@ -1,14 +1,16 @@
-"""Fused Pallas linearize/error vs the SoA reference (runs on TPU only;
-the CPU suite exercises the SoA fallback everywhere else)."""
+"""Fused Pallas linearize/error vs the SoA reference.
+
+On CPU (the CI suite) the kernels run in Pallas interpret mode so a kernel
+regression cannot land silently; on a real TPU the same tests exercise the
+compiled Mosaic kernels.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-pytestmark = pytest.mark.skipif(
-    jax.default_backend() != "tpu", reason="Pallas TPU kernels"
-)
+# interpret=True executes the kernel body with jnp semantics on any backend.
+INTERPRET = jax.default_backend() != "tpu"
 
 
 def test_fused_matches_soa(rng):
@@ -47,6 +49,7 @@ def test_fused_matches_soa(rng):
     err_f, H_f, b_f, aux = pallas_linearize.linearize_pallas(
         pad8(P), pad8(cr), rows.T,
         pad8(valid[None, :].astype(jnp.float32)),
+        interpret=INTERPRET,
     )
     np.testing.assert_allclose(float(err_f), float(err_s), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_s),
@@ -58,5 +61,90 @@ def test_fused_matches_soa(rng):
     x2 = se3.se3_exp(jnp.asarray(np.float32([0.02, 0.01, -0.03, 0.1, 0.2, 0])))
     P2 = soa.transform_cols(x2, P)
     e_soa = soa.error_cols(P2, Q, M, w, valid)
-    e_fused = pallas_linearize.error_pallas(pad8(P2), aux)
+    e_fused = pallas_linearize.error_pallas(pad8(P2), aux, interpret=INTERPRET)
     np.testing.assert_allclose(float(e_fused), float(e_soa), rtol=1e-4)
+
+
+def test_nn_search_matches_xla(rng):
+    from fast_gicp_tpu.ops import neighbors, pallas_kernels
+
+    nq, nt = 512, 2048
+    q = jnp.asarray(rng.normal(size=(nq, 3)).astype(np.float32) * 10)
+    t = jnp.asarray(rng.normal(size=(nt, 3)).astype(np.float32) * 10)
+    tmask = jnp.asarray(rng.uniform(size=nt) > 0.1)
+
+    idx_p, sq_p = pallas_kernels.nn_search_pallas(q, t, tmask,
+                                                  interpret=INTERPRET)
+    idx_x, sq_x = neighbors.nn_search(q, t, tmask)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    # The XLA path computes |q|^2 - 2qt + |t|^2 (dot form); the kernel uses
+    # exact squared differences — they agree only to f32 cancellation.
+    np.testing.assert_allclose(np.asarray(sq_p), np.asarray(sq_x),
+                               rtol=1e-3, atol=1e-3)
+
+
+def _rbf_reference(points, mask, kernel_width, max_dist):
+    """Dense f64 reference for the RBF raw moments."""
+    x = np.asarray(points, np.float64)
+    m = np.asarray(mask, bool)
+    d = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    w = np.where((d <= max_dist**2) & m[None, :], np.exp(-kernel_width * d), 0.0)
+    s_w = w.sum(1)
+    s_wx = w @ x
+    s_wxx = np.einsum("qt,ti,tj->qij", w, x, x)
+    return s_w, s_wx, s_wxx
+
+
+def test_rbf_moments_matches_reference(rng):
+    from fast_gicp_tpu.ops import pallas_kernels
+
+    n = 2048
+    x = rng.normal(size=(n, 3)).astype(np.float32) * 2.0
+    mask = rng.uniform(size=n) > 0.1
+    out = pallas_kernels.rbf_moments_pallas(
+        jnp.asarray(x), jnp.asarray(mask), 0.5, 3.0, interpret=INTERPRET
+    )
+    s_w, s_wx, s_wxx = _rbf_reference(x, mask, 0.5, 3.0)
+    # Masked QUERY rows are parked at MASK_COORD by the kernel (their
+    # results are unused downstream); compare valid rows only.
+    out = np.asarray(out)[mask]
+    s_w, s_wx, s_wxx = s_w[mask], s_wx[mask], s_wxx[mask]
+    nv = out.shape[0]
+    np.testing.assert_allclose(out[:, 0], s_w, rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(out[:, 1:4], s_wx, rtol=5e-3, atol=2e-2)
+    np.testing.assert_allclose(
+        out[:, 4:13].reshape(nv, 3, 3), s_wxx, rtol=5e-3, atol=5e-2
+    )
+
+
+def test_rbf_covariance_far_from_origin(rng):
+    """The advisor's regression case: a cloud offset ~80 m from the origin.
+    Uncentered bf16 moments would corrupt the covariances by O(25 m^2);
+    centered hi/lo moments must keep them within a few percent."""
+    from fast_gicp_tpu.ops import pallas_kernels
+
+    n = 2048
+    local = rng.normal(size=(n, 3)).astype(np.float32)  # ~1 m clusters
+    offset = np.float32([80.0, -55.0, 20.0])
+    x = local + offset
+    mask = np.ones(n, bool)
+
+    out = np.asarray(
+        pallas_kernels.rbf_moments_pallas(
+            jnp.asarray(x), jnp.asarray(mask), 0.5, 3.0, interpret=INTERPRET
+        )
+    )
+    s_w, s_wx, s_wxx = _rbf_reference(x, mask, 0.5, 3.0)
+
+    # Compare the derived covariances (the cancellation-sensitive output).
+    def covs(sw, swx, swxx):
+        mean = swx / sw[:, None]
+        return swxx / sw[:, None, None] - np.einsum(
+            "ni,nj->nij", mean, mean
+        )
+
+    c_ref = covs(s_w, s_wx, s_wxx)
+    c_out = covs(out[:, 0], out[:, 1:4], out[:, 4:13].reshape(n, 3, 3))
+    scale = np.abs(np.trace(c_ref, axis1=1, axis2=2) / 3).mean()
+    err = np.abs(c_out - c_ref).max()
+    assert err < 0.05 * max(scale, 1.0), (err, scale)

@@ -107,6 +107,47 @@ def test_sharded_scan_to_map_matches_single():
     assert ate_rmse(gt, sharded.poses) < 0.05
 
 
+def test_sharded_map_growth():
+    """Per-shard growth: a small sharded map doubles its local capacity when
+    the fullest shard passes 70% and keeps producing finite poses; grown
+    shards must still resolve every committed voxel."""
+    import numpy as np
+
+    from fast_gicp_tpu.models.scan_to_map import ScanToMapConfig
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import (
+        ShardedScanToMapOdometry, grow_sharded_map,
+    )
+
+    rng = np.random.default_rng(7)
+    mesh = make_mesh(8)
+    cfg = ScanToMapConfig(resolution=0.5, capacity=8 * 64,
+                          max_capacity=8 * 4096, grow_check_every=1)
+    odo = ShardedScanToMapOdometry(cfg, mesh=mesh, covariance="knn")
+    cap0 = odo.state.sums.shape[0]
+    for i in range(4):
+        shift = np.float32([i * 2.0, 0, 0])
+        odo.process((rng.uniform(size=(512, 3)) * 20 - 10).astype(np.float32)
+                    + shift)
+    assert odo.state.sums.shape[0] > cap0  # grew
+    assert all(np.isfinite(p).all() for p in odo.poses)
+
+    # growth preserves per-shard stats verbatim
+    st = odo.state
+    d = 8
+    cap_local = st.sums.shape[0] // d
+    grown = grow_sharded_map(mesh, st, cap_local * 2)
+    np.testing.assert_array_equal(
+        np.asarray(grown.num_voxels), np.asarray(st.num_voxels)
+    )
+    for s in range(d):
+        nv = int(np.asarray(st.num_voxels)[s])
+        np.testing.assert_allclose(
+            np.asarray(grown.sums[s * cap_local * 2:][:nv]),
+            np.asarray(st.sums[s * cap_local:][:nv]),
+        )
+
+
 def test_update_map_no_orphan_rows(rng):
     """Claim-first insertion: every committed capacity row is reachable
     through the lut (no leaked rows when probe windows fill up), at a
@@ -185,16 +226,24 @@ def test_gate_pose_semantics():
     nan = eye.at[0, 3].set(jnp.nan)
     t, r = 0.5, 0.2
     live = jnp.float32(100.0)
+    H_live = jnp.eye(6, dtype=jnp.float32)
+    H_dead = jnp.zeros((6, 6), jnp.float32)
 
-    def gate(pose, conv=True, err=live):
-        p, rej = _gate_pose(pose, eye, jnp.asarray(conv), jnp.asarray(err), t, r)
+    def gate(pose, conv=True, err=live, H=H_live):
+        p, rej = _gate_pose(
+            pose, eye, jnp.asarray(conv), jnp.asarray(err), H, t, r
+        )
         return bool(rej), np.asarray(p)
 
     rej, p = gate(near)
     assert not rej and np.allclose(p, np.asarray(near))
     assert gate(far)[0]
     assert gate(near, conv=False)[0]
-    assert gate(near, err=0.0)[0]  # dead objective = zero correspondences
+    # zero Hessian = zero correspondences = total track loss
+    assert gate(near, err=0.0, H=H_dead)[0]
+    # zero RESIDUAL with live correspondences is a legitimate convergence
+    # (identical overlapping geometry), not track loss
+    assert not gate(near, err=0.0)[0]
     assert gate(near, err=np.nan)[0]
     rej, p = gate(nan)
     assert rej and np.isfinite(p).all()  # falls back to the guess
