@@ -30,8 +30,11 @@ import jax.numpy as jnp
 
 from ..ops import pallas_linearize, soa
 from ..ops.voxelmap import (
+    DenseRawGridMap,
     auto_grid_dims,
+    build_raw_grid,
     build_voxelmap,
+    lookup_raw_rows_cols,
     lookup_voxels_cols,
     neighbor_offsets,
 )
@@ -81,28 +84,109 @@ def make_vgicp_objective(
     n = source.shape[0]
     k = offsets.shape[0]
     P = soa.cols_from_points(source)  # (3, N)
-    C_A = soa.sym_cols_from_covs(source_covs)  # (6, N)
+    # source covariances arrive as (N, 3, 3) AoS or (6, N) sym columns
+    # (the SoA covariance pipeline's native format)
+    C_A = (
+        source_covs
+        if source_covs.ndim == 2
+        else soa.sym_cols_from_covs(source_covs)
+    )
     offs = offsets.T[:, :, None]  # (3, K, 1)
+    raw_grid = isinstance(vmap, DenseRawGridMap)
     use_fused = pallas_linearize.supported(n * k)
 
     def _psum(v):
         return v if axis_name is None else jax.lax.psum(v, axis_name)
 
-    def correspondences(x):
-        p_t = soa.transform_cols(x, P)  # (3, N)
+    def _query_coords(p_t):
         coords = jnp.floor(p_t / vmap.resolution - 0.5).astype(jnp.int32)
         qx = coords[0][None, :] + offs[0]  # (K, N)
         qy = coords[1][None, :] + offs[1]
         qz = coords[2][None, :] + offs[2]
+        return qx, qy, qz
+
+    def correspondences(x):
+        p_t = soa.transform_cols(x, P)  # (3, N)
+        qx, qy, qz = _query_coords(p_t)
         vids = lookup_voxels_cols(vmap, qx, qy, qz)  # (K, N)
         valid = (vids >= 0) & source_mask[None, :]
         return p_t, jnp.maximum(vids, 0), valid
+
+    def correspondences_raw(x):
+        """DenseRawGridMap path: ONE f32 row gather, no vid indirection
+        (the int32 grid gather lowers to a scalar-core kernel ~5x slower
+        than a row gather — measured 160 us/LM iteration at 22k points)."""
+        p_t = soa.transform_cols(x, P)
+        qx, qy, qz = _query_coords(p_t)
+        rows = lookup_raw_rows_cols(vmap, config.grid_dims, qx, qy, qz)
+        return p_t, rows  # rows (K, N, 16); count==0 rows are misses
 
     def _flatten_pt(p_t):
         """(3, N) -> padded (8, K*N) matching the k-major row flattening."""
         p_b = jnp.broadcast_to(p_t[None], (k, 3, n))
         cols = jnp.swapaxes(p_b, 0, 1).reshape(3, k * n)
         return jnp.concatenate([cols, jnp.zeros((5, k * n), cols.dtype)])
+
+    def _flatten_cr(cr):
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(cr[:, None, :], (6, k, n)).reshape(6, k * n),
+                jnp.zeros((2, k * n), cr.dtype),
+            ]
+        )
+
+    if use_fused and raw_grid:
+        mask_row = jnp.broadcast_to(
+            source_mask[None, :], (k, n)
+        ).reshape(1, k * n).astype(source.dtype)
+        valid_f = jnp.concatenate(
+            [mask_row, jnp.zeros((7, k * n), source.dtype)]
+        )
+
+        def linearize(x):
+            p_t, rows = correspondences_raw(x)
+            rows_t = rows.reshape(k * n, 16).T  # (16, K*N)
+            cr = soa.rotate_sym_cols(x[:3, :3], C_A)
+            err, H, b, aux = pallas_linearize.linearize_raw_pallas(
+                _flatten_pt(p_t), _flatten_cr(cr), rows_t, valid_f,
+            )
+            return _psum(err), _psum(H), _psum(b), aux
+
+        def error(x, aux):
+            p_t = soa.transform_cols(x, P)
+            return _psum(pallas_linearize.error_pallas(_flatten_pt(p_t), aux))
+
+        return linearize, error
+
+    if raw_grid:
+
+        def linearize(x):
+            R = x[:3, :3]
+            p_t, rows = correspondences_raw(x)
+            mu_B, cov_B, n_B = soa.sym_cols_from_raw(rows)
+            valid = (n_B > 0) & source_mask[None, :]
+
+            cov_rot = soa.rotate_sym_cols(R, C_A)  # (6, N)
+            M = soa.inv_sym_cols(cov_B + cov_rot[None]) * valid[:, None, :]
+            w = jnp.sqrt(n_B)
+
+            p_b = jnp.broadcast_to(p_t[None], (k, 3, n))
+            err, H, b = soa.linearize_cols(p_b, mu_B, M, w, valid)
+            aux = (valid, M, w, mu_B)
+            return (
+                _psum(jnp.sum(err, 0)),
+                _psum(jnp.sum(H, 0)),
+                _psum(jnp.sum(b, 0)),
+                aux,
+            )
+
+        def error(x, aux):
+            valid, M, w, mu_B = aux
+            p_t = soa.transform_cols(x, P)
+            p_b = jnp.broadcast_to(p_t[None], (k, 3, n))
+            return _psum(jnp.sum(soa.error_cols(p_b, mu_B, M, w, valid), 0))
+
+        return linearize, error
 
     if use_fused:
         # Fused Pallas path: the SoA math lowers to ~10 XLA kernels whose
@@ -117,14 +201,8 @@ def make_vgicp_objective(
                 ]
             )
             cr = soa.rotate_sym_cols(x[:3, :3], C_A)  # (6, N), XLA-side
-            cr_flat = jnp.concatenate(
-                [
-                    jnp.broadcast_to(cr[:, None, :], (6, k, n)).reshape(6, k * n),
-                    jnp.zeros((2, k * n), cr.dtype),
-                ]
-            )
             err, H, b, aux = pallas_linearize.linearize_pallas(
-                _flatten_pt(p_t), cr_flat, rows_t, valid_f,
+                _flatten_pt(p_t), _flatten_cr(cr), rows_t, valid_f,
             )
             return _psum(err), _psum(H), _psum(b), aux
 
@@ -175,15 +253,12 @@ def vgicp_align(
     guess,
     config: VGICPConfig = VGICPConfig(),
 ) -> LsqResult:
-    """Single-device voxelized-GICP align (voxel map built in-graph)."""
-    vmap = build_voxelmap(
-        target,
-        target_mask,
-        config.resolution,
-        covs=target_covs,
-        mode=config.voxel_accumulation,
-        grid_dims=config.grid_dims,
-    )
+    """Single-device voxelized-GICP align (voxel map built in-graph).
+
+    With static grid_dims and additive accumulation (the default and the
+    benchmark config) the target map is a `DenseRawGridMap`: one
+    scatter-add build, one row-gather lookup per LM iteration."""
+    vmap = _build_target_map(target, target_mask, target_covs, config)
     offsets = jnp.asarray(
         neighbor_offsets(
             config.neighbor_search_method, config.neighbor_search_radius
@@ -193,6 +268,28 @@ def vgicp_align(
         source, source_mask, source_covs, vmap, offsets, config
     )
     return lsq_solve(linearize, error, guess.astype(source.dtype), config.lsq)
+
+
+def _build_target_map(target, target_mask, target_covs, config: VGICPConfig):
+    if config.grid_dims is not None and config.voxel_accumulation in (
+        "additive",
+        "additive_weighted",
+    ):
+        return build_raw_grid(
+            target, target_mask, config.resolution, target_covs,
+            config.grid_dims,
+        )
+    covs = target_covs
+    if covs is not None and covs.ndim == 2:  # (6, N) sym columns -> AoS
+        covs = soa.sym_cols_to_rows9(covs).reshape(-1, 3, 3)
+    return build_voxelmap(
+        target,
+        target_mask,
+        config.resolution,
+        covs=covs,
+        mode=config.voxel_accumulation,
+        grid_dims=config.grid_dims,
+    )
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -248,14 +345,7 @@ def vgicp_evaluate(
     """(error, H, b) of the VGICP objective at an arbitrary pose — the
     functional form of the reference's evaluateCost
     (lsq_registration_impl.hpp:48-50)."""
-    vmap = build_voxelmap(
-        target,
-        target_mask,
-        config.resolution,
-        covs=target_covs,
-        mode=config.voxel_accumulation,
-        grid_dims=config.grid_dims,
-    )
+    vmap = _build_target_map(target, target_mask, target_covs, config)
     offsets = jnp.asarray(
         neighbor_offsets(
             config.neighbor_search_method, config.neighbor_search_radius

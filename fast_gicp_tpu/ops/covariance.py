@@ -98,6 +98,87 @@ def knn_covariances(
     return regularize_covariances(cov, method)
 
 
+def _rbf_moments_T(points, mask, kernel_width, max_dist, chunk_size=2048):
+    """(13, N) raw RBF moment rows [sum_w, sum_wx (3), sum_wxx (9)] —
+    fused Pallas on TPU, chunked XLA elsewhere."""
+    n = points.shape[0]
+    if pallas_kernels.supported(n):
+        return pallas_kernels.rbf_moments_T(
+            points, mask, kernel_width, max_dist
+        )[:13]
+    chunk_size = _pick_chunk(n, chunk_size)
+    x = points
+    outer = (x[:, :, None] * x[:, None, :]).reshape(n, 9)
+    feats = jnp.concatenate([jnp.ones((n, 1), x.dtype), x, outer], axis=1)
+    x_sq = jnp.sum(x * x, axis=-1)
+    max_dist_sq = max_dist * max_dist
+    valid = mask.astype(x.dtype)
+
+    def body(q):
+        d = (
+            jnp.sum(q * q, axis=-1)[:, None]
+            - 2.0 * jnp.dot(q, x.T, precision=_PRECISION)
+            + x_sq[None, :]
+        )
+        w = jnp.exp(-kernel_width * d)
+        w = jnp.where(d <= max_dist_sq, w, 0.0) * valid[None, :]
+        return jnp.dot(w, feats, precision=_PRECISION)  # (chunk, 13)
+
+    return jax.lax.map(body, x.reshape(-1, chunk_size, 3)).reshape(n, 13).T
+
+
+@f32_matmuls
+def rbf_covariance_cols(
+    points,
+    mask,
+    kernel_width: float = 0.5,
+    max_dist: float = 3.0,
+    method: str = "plane",
+    chunk_size: int = 2048,
+):
+    """RBF kernel-density covariances as SYM-6 COLUMNS (6, N) — the fully
+    SoA odometry hot path (same math as `rbf_covariances`; no (N, 3, 3)
+    intermediate ever exists, which on TPU would pad to (N, 8, 128) tiles
+    and dominate the epilogue cost).
+
+    On the Pallas path the moments stay CENTERED on the cloud mean —
+    covariances are translation-invariant, so the de-centering pass is
+    skipped entirely (it only matters for callers that need raw moments).
+    """
+    from . import soa
+
+    n = points.shape[0]
+    if pallas_kernels.supported(n):
+        m, _c = pallas_kernels.rbf_moments_centered_T(
+            points, mask, kernel_width, max_dist
+        )
+    else:
+        m = _rbf_moments_T(points, mask, kernel_width, max_dist, chunk_size)
+    inv_w = 1.0 / jnp.maximum(m[0], 1e-12)
+    mean = [m[1] * inv_w, m[2] * inv_w, m[3] * inv_w]
+    # sym-6 of the row-major 9: rows 4(xx) 5(xy) 6(xz) 8(yy) 9(yz) 12(zz);
+    # symmetrized like the AoS path (bf16 products are pairwise identical,
+    # but the chunked fallback's MXU accumulation is not exactly symmetric).
+    cov6 = jnp.stack(
+        [
+            m[4] * inv_w - mean[0] * mean[0],
+            0.5 * (m[5] + m[7]) * inv_w - mean[0] * mean[1],
+            0.5 * (m[6] + m[10]) * inv_w - mean[0] * mean[2],
+            m[8] * inv_w - mean[1] * mean[1],
+            0.5 * (m[9] + m[11]) * inv_w - mean[1] * mean[2],
+            m[12] * inv_w - mean[2] * mean[2],
+        ],
+        axis=0,
+    )
+    if method == "plane":
+        return soa.plane_covs_cols(cov6)
+    if method == "none":
+        return cov6
+    # cold regularization modes: go through the AoS machinery
+    covs = soa.sym_cols_to_rows9(cov6).reshape(points.shape[0], 3, 3)
+    return soa.sym_cols_from_covs(regularize_covariances(covs, method))
+
+
 @f32_matmuls
 def rbf_covariances(
     points,
@@ -118,47 +199,26 @@ def rbf_covariances(
     Phrased as one (chunk, N) weight tile times an (N, 13) moment feature
     matrix [1 | x | x outer x] so the accumulation runs on the MXU.  On TPU
     the whole moment pass runs as one fused Pallas kernel (distance tiles
-    never leave VMEM, ~3.5x faster); the chunked-XLA path below is the
-    fallback for CPU tests and odd sizes.
+    never leave VMEM, ~3.5x faster); the chunked-XLA path is the fallback
+    for CPU tests and odd sizes.  plane/none (the hot methods) run fully
+    SoA via `rbf_covariance_cols`; only the final (N, 3, 3) product is AoS.
     """
+    from . import soa
+
     n = points.shape[0]
-    if pallas_kernels.supported(n):
-        moments = pallas_kernels.rbf_moments_pallas(
-            points, mask, kernel_width, max_dist
+    if method in ("plane", "none"):
+        cols = rbf_covariance_cols(
+            points, mask, kernel_width, max_dist, method, chunk_size
         )
-        sum_w = jnp.maximum(moments[:, 0:1], 1e-12)
-        sum_wx = moments[:, 1:4]
-        sum_wxx = moments[:, 4:13].reshape(n, 3, 3)
-        mean = sum_wx / sum_w
-        cov = (sum_wxx - mean[:, :, None] * sum_wx[:, None, :]) / sum_w[..., None]
-        return regularize_covariances(linalg3.symmetrize(cov), method)
-    chunk_size = _pick_chunk(n, chunk_size)
-    x = points
-    # Moment features: [1, x, vec(x x^T)] -> 13 columns.
-    outer = (x[:, :, None] * x[:, None, :]).reshape(n, 9)
-    feats = jnp.concatenate([jnp.ones((n, 1), x.dtype), x, outer], axis=1)
-    x_sq = jnp.sum(x * x, axis=-1)
-    max_dist_sq = max_dist * max_dist
-    valid = mask.astype(x.dtype)
-
-    def body(q):
-        d = (
-            jnp.sum(q * q, axis=-1)[:, None]
-            - 2.0 * jnp.dot(q, x.T, precision=_PRECISION)
-            + x_sq[None, :]
-        )
-        w = jnp.exp(-kernel_width * d)
-        w = jnp.where(d <= max_dist_sq, w, 0.0) * valid[None, :]
-        return jnp.dot(w, feats, precision=_PRECISION)  # (chunk, 13)
-
-    moments = jax.lax.map(body, x.reshape(-1, chunk_size, 3)).reshape(n, 13)
-    sum_w = moments[:, 0:1]
+        return soa.sym_cols_to_rows9(cols).reshape(n, 3, 3)
+    m = _rbf_moments_T(points, mask, kernel_width, max_dist, chunk_size)
+    moments = m.T  # (N, 13)
+    sum_w = jnp.maximum(moments[:, 0:1], 1e-12)
     sum_wx = moments[:, 1:4]
     sum_wxx = moments[:, 4:13].reshape(n, 3, 3)
-    safe_w = jnp.maximum(sum_w, 1e-12)
-    mean = sum_wx / safe_w
-    cov = (sum_wxx - mean[:, :, None] * sum_wx[:, None, :]) / safe_w[..., None]
-    return regularize_covariances(cov, method)
+    mean = sum_wx / sum_w
+    cov = (sum_wxx - mean[:, :, None] * sum_wx[:, None, :]) / sum_w[..., None]
+    return regularize_covariances(linalg3.symmetrize(cov), method)
 
 
 @f32_matmuls
@@ -183,6 +243,9 @@ knn_covariances_jit = jax.jit(
 )
 rbf_covariances_jit = jax.jit(
     rbf_covariances, static_argnames=("method", "chunk_size")
+)
+rbf_covariance_cols_jit = jax.jit(
+    rbf_covariance_cols, static_argnames=("method", "chunk_size")
 )
 covariances_from_neighbors_jit = jax.jit(
     covariances_from_neighbors, static_argnames=("method",)

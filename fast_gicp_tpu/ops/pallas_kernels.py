@@ -147,6 +147,9 @@ def nn_search_pallas(query, target, target_mask, interpret: bool = False):
 
 
 def _rbf_kernel(kw_ref, md_ref, q_ref, t_ref, f_ref, out_ref):
+    """Feature and output operands are TRANSPOSED ((32, TT) block, (32, QT)
+    out) so the caller never relayouts an (N, 32) matrix — XLA-side
+    (N, k)<->(k, N) transposes cost ~100 us each at 22k points."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -159,9 +162,9 @@ def _rbf_kernel(kw_ref, md_ref, q_ref, t_ref, f_ref, out_ref):
     w = jnp.where(d <= md_sq, jnp.exp(-kw * d), 0.0)
     # Masked target points carry coords ~1e9 -> d > md_sq -> w = 0.
     out_ref[:] += jax.lax.dot_general(
-        w.astype(jnp.bfloat16),
-        f_ref[:].astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
+        f_ref[:].astype(jnp.bfloat16),  # (32, TT)
+        w.astype(jnp.bfloat16),  # (QT, TT)
+        (((1,), (1,)), ((), ())),  # contract over the target tile
         preferred_element_type=jnp.float32,
         # Explicit: callers run under default_matmul_precision("float32"),
         # which Mosaic rejects for bf16 operands (single native pass here).
@@ -170,10 +173,14 @@ def _rbf_kernel(kw_ref, md_ref, q_ref, t_ref, f_ref, out_ref):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def rbf_moments_pallas(points, mask, kernel_width, max_dist,
-                       interpret: bool = False):
-    """Fused RBF moment accumulation: returns (N, 16) where columns are
-    [sum_w, sum_w*x (3), sum_w*xx^T (9), pad (3)].
+def rbf_moments_centered_T(points, mask, kernel_width, max_dist,
+                           interpret: bool = False):
+    """Fused RBF moment accumulation about the cloud center: returns
+    (rows (16, N), center (3,)) with rows
+    [sum_w, sum_w*y (3), sum_w*yy^T (9 row-major), pad (3)], y = x - c.
+
+    Covariances are center-invariant, so the SoA covariance path consumes
+    these directly with no de-centering pass.
 
     Equivalent math to covariance_estimation_rbf.cu:59-90 with exact
     masking (the reference lets zero-padded points contribute; we don't).
@@ -206,17 +213,23 @@ def rbf_moments_pallas(points, mask, kernel_width, max_dist,
     y = points - center
     pT = _prep_transposed(y, mask)
 
-    # Moment features (N, 16): [1, y, vec(yy^T), 0, 0, 0] about the center;
-    # masked rows zeroed so they contribute nothing even inside max_dist.
-    yv = y * mvalid[:, None]
-    outer = (yv[:, :, None] * yv[:, None, :]).reshape(n, 9)
-    feats = jnp.concatenate(
-        [jnp.ones((n, 1), f32) * mvalid[:, None], yv, outer,
-         jnp.zeros((n, 3), f32)],
-        axis=1,
-    )
-    hi = feats.astype(jnp.bfloat16).astype(f32)
-    feats2 = jnp.concatenate([hi, feats - hi], axis=1)  # (N, 32) [hi | lo]
+    # Moment feature ROWS (16, N): [1, y, vec(yy^T), 0, 0, 0] about the
+    # center, built entirely in 2-D column layout — an (N, 3, 3) outer
+    # product would pad to (N, 8, 128) tiles (~92 MB materialized at 22k
+    # points).  Masked rows zeroed so they contribute nothing even inside
+    # max_dist.
+    y0, y1, y2 = (y[:, i] * mvalid for i in range(3))
+    zero = jnp.zeros((n,), f32)
+    feats_rows = jnp.stack(
+        [mvalid, y0, y1, y2,
+         y0 * y0, y0 * y1, y0 * y2,
+         y1 * y0, y1 * y1, y1 * y2,
+         y2 * y0, y2 * y1, y2 * y2,
+         zero, zero, zero],
+        axis=0,
+    )  # (16, N)
+    hi = feats_rows.astype(jnp.bfloat16).astype(f32)
+    feats2 = jnp.concatenate([hi, feats_rows - hi], axis=0)  # (32, N)
 
     kw = jnp.full((1,), kernel_width, f32)
     md = jnp.full((1,), max_dist * max_dist, f32)
@@ -230,26 +243,39 @@ def rbf_moments_pallas(points, mask, kernel_width, max_dist,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, _RQT), lambda i, j: (0, i)),
             pl.BlockSpec((8, _RTT), lambda i, j: (0, j)),
-            pl.BlockSpec((_RTT, 32), lambda i, j: (j, 0)),
+            pl.BlockSpec((32, _RTT), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((_RQT, 32), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, 32), jnp.float32),
+        out_specs=pl.BlockSpec((32, _RQT), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((32, n), jnp.float32),
         interpret=interpret,
     )(kw, md, pT, pT, feats2)
-    m = out[:, :16] + out[:, 16:]  # recombine hi + lo halves (f32)
+    return out[:16] + out[16:], center  # recombine hi + lo halves (f32)
 
-    # Reconstruct raw moments about the origin (pure f32 — the f32
-    # cancellation here is ~1e-7|x|^2, negligible).
-    s_w = m[:, 0:1]
-    s_wy = m[:, 1:4]
-    s_wyy = m[:, 4:13].reshape(n, 3, 3)
-    s_wx = s_wy + s_w * center[None, :]
-    s_wxx = (
-        s_wyy
-        + center[None, :, None] * s_wy[:, None, :]
-        + s_wy[:, :, None] * center[None, None, :]
-        + s_w[:, :, None] * (center[:, None] * center[None, :])[None]
-    )
-    return jnp.concatenate(
-        [s_w, s_wx, s_wxx.reshape(n, 9), jnp.zeros((n, 3), f32)], axis=1
-    )
+
+@partial(jax.jit, static_argnames=("interpret",))
+def rbf_moments_T(points, mask, kernel_width, max_dist,
+                  interpret: bool = False):
+    """(16, N) raw moment rows about the ORIGIN
+    [sum_w, sum_w*x (3), sum_w*xx^T (9 row-major), pad (3)] — the
+    de-centered view of `rbf_moments_centered_T` (pure f32 row math; the
+    f32 cancellation here is ~1e-7|x|^2, negligible)."""
+    m, c = rbf_moments_centered_T(points, mask, kernel_width, max_dist,
+                                  interpret=interpret)
+    s_w = m[0]
+    s_wy = m[1:4]  # (3, N)
+    s_wx = [s_wy[i] + s_w * c[i] for i in range(3)]
+    s_wxx = [
+        m[4 + 3 * i + j] + c[i] * s_wy[j] + s_wy[i] * c[j] + s_w * c[i] * c[j]
+        for i in range(3)
+        for j in range(3)
+    ]
+    zero = jnp.zeros((points.shape[0],), jnp.float32)
+    return jnp.stack([s_w, *s_wx, *s_wxx, zero, zero, zero], axis=0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def rbf_moments_pallas(points, mask, kernel_width, max_dist,
+                       interpret: bool = False):
+    """(N, 16) row-per-point view of `rbf_moments_T` (compat surface)."""
+    return rbf_moments_T(points, mask, kernel_width, max_dist,
+                         interpret=interpret).T

@@ -73,21 +73,17 @@ def _mahalanobis_core(p0, p1, p2, q0, q1, q2, m):
     return (me0, me1, me2), err
 
 
-def _linearize_kernel(pt_ref, cr_ref, rows_ref, valid_ref,
-                      out_ref, aux_ref):
-    i = pl.program_id(0)
-
+def _lin_body(pt_ref, cr_ref, out_ref, aux_ref, i,
+              q0, q1, q2, cb, count, valid):
+    """Shared linearize core: Mahalanobis inverse, (err, H, b) reduction,
+    aux pack.  `cb` is the target sym-6 covariance, `count`/`valid` the
+    weight/validity columns; callers differ only in how they unpack the
+    gathered voxel rows."""
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     p0, p1, p2 = pt_ref[0], pt_ref[1], pt_ref[2]
-    q0, q1, q2 = rows_ref[0], rows_ref[1], rows_ref[2]
-    # gathered voxel cov (rows 3..11 of the packed layout; symmetric-6)
-    cb = (rows_ref[3], rows_ref[4], rows_ref[5],
-          rows_ref[7], rows_ref[8], rows_ref[11])
-    count = rows_ref[12]
-    valid = valid_ref[0]
 
     # cr_ref: R C_A R^T precomputed in XLA (a vmap/shard-friendly input —
     # an SMEM scalar rotation input broke under vmap batching)
@@ -146,6 +142,34 @@ def _linearize_kernel(pt_ref, cr_ref, rows_ref, valid_ref,
     aux_ref[15] = jnp.zeros_like(p0)
 
 
+def _linearize_kernel(pt_ref, cr_ref, rows_ref, valid_ref, out_ref, aux_ref):
+    """Packed-rows layout: [mu (3), cov9, count, pad] (finalized stats)."""
+    i = pl.program_id(0)
+    q0, q1, q2 = rows_ref[0], rows_ref[1], rows_ref[2]
+    cb = (rows_ref[3], rows_ref[4], rows_ref[5],
+          rows_ref[7], rows_ref[8], rows_ref[11])
+    count = rows_ref[12]
+    valid = valid_ref[0]
+    _lin_body(pt_ref, cr_ref, out_ref, aux_ref, i, q0, q1, q2, cb, count, valid)
+
+
+def _linearize_raw_kernel(pt_ref, cr_ref, rows_ref, valid_ref, out_ref, aux_ref):
+    """Raw-sums layout from DenseRawGridMap: [count, sum mu (3), sum cov
+    (9 row-major), pad] — the divide-by-count finalization runs here, so
+    the XLA side does ONE row gather and nothing else."""
+    i = pl.program_id(0)
+    count = rows_ref[0]
+    alive = (count > 0.0).astype(count.dtype)
+    inv_n = alive / jnp.maximum(count, 1.0)
+    q0 = rows_ref[1] * inv_n
+    q1 = rows_ref[2] * inv_n
+    q2 = rows_ref[3] * inv_n
+    cb = (rows_ref[4] * inv_n, rows_ref[5] * inv_n, rows_ref[6] * inv_n,
+          rows_ref[8] * inv_n, rows_ref[9] * inv_n, rows_ref[12] * inv_n)
+    valid = valid_ref[0] * alive
+    _lin_body(pt_ref, cr_ref, out_ref, aux_ref, i, q0, q1, q2, cb, count, valid)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def linearize_pallas(p_t, cov_rot, rows_t, valid_f, interpret: bool = False):
     """Fused linearize.
@@ -159,12 +183,26 @@ def linearize_pallas(p_t, cov_rot, rows_t, valid_f, interpret: bool = False):
 
     Returns (err (), H (6, 6), b (6,), aux (16, N)).
     """
+    return _linearize_call(_linearize_kernel, p_t, cov_rot, rows_t, valid_f,
+                           interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def linearize_raw_pallas(p_t, cov_rot, rows_t, valid_f,
+                         interpret: bool = False):
+    """Fused linearize against RAW accumulator rows (DenseRawGridMap
+    layout [count, sum mu, sum cov9]); finalization happens in-kernel."""
+    return _linearize_call(_linearize_raw_kernel, p_t, cov_rot, rows_t,
+                           valid_f, interpret)
+
+
+def _linearize_call(kernel, p_t, cov_rot, rows_t, valid_f, interpret):
     n = p_t.shape[1]
     if n % _NT:
         raise ValueError(f"n={n} not a multiple of {_NT}")
     grid = (n // _NT,)
     out, aux = pl.pallas_call(
-        _linearize_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, _NT), lambda i: (0, i)),

@@ -60,6 +60,21 @@ def sym_cols_from_packed(rows):
     return mean, cov, rows[..., 12]
 
 
+def sym_cols_from_raw(rows):
+    """Raw accumulator rows (..., N, 16) [count, sum mu (3), sum cov (9)]
+    (DenseRawGridMap layout) -> finalized (mean (..., 3, N),
+    cov (..., 6, N), count (..., N)); empty cells (count 0) give zeros."""
+    count = rows[..., 0]
+    inv_n = jnp.where(count > 0, 1.0 / jnp.maximum(count, 1.0), 0.0)
+    mean = jnp.swapaxes(rows[..., 1:4], -1, -2) * inv_n[..., None, :]
+    cov = jnp.stack(
+        [rows[..., 4], rows[..., 5], rows[..., 6],
+         rows[..., 8], rows[..., 9], rows[..., 12]],
+        axis=-2,
+    ) * inv_n[..., None, :]
+    return mean, cov, count
+
+
 def transform_cols(T, P):
     """Rigid transform of (..., 3, N) columns by a 4x4 matrix."""
     R, t = T[:3, :3], T[:3, 3]
@@ -120,6 +135,105 @@ def inv_sym_cols(C, eps: float = 1e-18):
     det = jnp.where(jnp.abs(det) < eps, jnp.where(det < 0, -eps, eps), det)
     inv_det = 1.0 / det
     return jnp.stack([a00, a01, a02, a11, a12, a22], axis=-2) * inv_det[..., None, :]
+
+
+def sym_cols_to_rows9(C):
+    """(..., 6, N) sym-6 columns -> (..., N, 9) row-major 3x3 rows."""
+    full = jnp.stack(
+        [C[..., 0, :], C[..., 1, :], C[..., 2, :],
+         C[..., 1, :], C[..., 3, :], C[..., 4, :],
+         C[..., 2, :], C[..., 4, :], C[..., 5, :]],
+        axis=-2,
+    )  # (..., 9, N)
+    return jnp.swapaxes(full, -1, -2)
+
+
+def eigvals_sym_cols(C):
+    """Eigenvalues of sym-6 columns (..., 6, N) -> (small, mid, big) each
+    (..., N).  Trigonometric closed form (linalg3.eigvalsh3 on columns)."""
+    c00, c01, c02, c11, c12, c22 = (C[..., i, :] for i in range(6))
+    q = (c00 + c11 + c22) / 3.0
+    p1 = c01 * c01 + c02 * c02 + c12 * c12
+    d0, d1, d2 = c00 - q, c11 - q, c22 - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
+    iso = p2 <= 1e-30
+    p = jnp.sqrt(jnp.where(iso, 1.0, p2) / 6.0)
+    inv_p = 1.0 / p
+    b00, b11, b22 = d0 * inv_p, d1 * inv_p, d2 * inv_p
+    b01, b02, b12 = c01 * inv_p, c02 * inv_p, c12 * inv_p
+    det = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(det * 0.5, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_big = q + 2.0 * p * jnp.cos(phi)
+    e_small = q + 2.0 * p * jnp.cos(phi + 2.0943951023931953)
+    e_mid = 3.0 * q - e_big - e_small
+    return (
+        jnp.where(iso, q, e_small),
+        jnp.where(iso, q, e_mid),
+        jnp.where(iso, q, e_big),
+    )
+
+
+def plane_covs_cols(C):
+    """PLANE regularization on sym-6 columns: (..., 6, N) -> (..., 6, N).
+
+    cov_reg = I - (1 - 1e-3) v v^T with v the smallest eigenvector
+    (the rank-1 identity used by covariance.regularize_covariances), fully
+    in column layout — the AoS version's (N, 3, 3) intermediates each pad
+    to (N, 8, 128) tiles on TPU (~113x memory inflation per op).
+
+    Smallest eigenvector by Cayley-Hamilton: columns of
+    (A - l_big I)(A - l_mid I) = A^2 - (l_big + l_mid) A + l_big l_mid I
+    span the smallest eigenspace; take the largest column (linalg3.
+    smallest_eigenvector3 on columns, same degenerate fallback to e_z).
+    """
+    c00, c01, c02, c11, c12, c22 = (C[..., i, :] for i in range(6))
+    e_small, e_mid, e_big = eigvals_sym_cols(C)
+    t = e_big + e_mid
+    d = e_big * e_mid
+    # G = A^2 - t A + d I (symmetric, shares eigenvectors with A)
+    s00 = c00 * c00 + c01 * c01 + c02 * c02
+    s01 = c00 * c01 + c01 * c11 + c02 * c12
+    s02 = c00 * c02 + c01 * c12 + c02 * c22
+    s11 = c01 * c01 + c11 * c11 + c12 * c12
+    s12 = c01 * c02 + c11 * c12 + c12 * c22
+    s22 = c02 * c02 + c12 * c12 + c22 * c22
+    g00 = s00 - t * c00 + d
+    g01 = s01 - t * c01
+    g02 = s02 - t * c02
+    g11 = s11 - t * c11 + d
+    g12 = s12 - t * c12
+    g22 = s22 - t * c22 + d
+    n0 = g00 * g00 + g01 * g01 + g02 * g02
+    n1 = g01 * g01 + g11 * g11 + g12 * g12
+    n2 = g02 * g02 + g12 * g12 + g22 * g22
+    use0 = (n0 >= n1) & (n0 >= n2)
+    use1 = ~use0 & (n1 >= n2)
+    v0 = jnp.where(use0, g00, jnp.where(use1, g01, g02))
+    v1 = jnp.where(use0, g01, jnp.where(use1, g11, g12))
+    v2 = jnp.where(use0, g02, jnp.where(use1, g12, g22))
+    nrm_sq = v0 * v0 + v1 * v1 + v2 * v2
+    nrm = jnp.sqrt(nrm_sq)
+    scale = jnp.maximum(
+        jnp.maximum(jnp.abs(e_small), jnp.maximum(jnp.abs(e_mid), jnp.abs(e_big))),
+        1e-30,
+    )
+    ok = nrm > 1e-12 * scale * scale
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, nrm, 1.0), 0.0)
+    # degenerate fallback: v = e_z
+    v0 = jnp.where(ok, v0 * inv, 0.0)
+    v1 = jnp.where(ok, v1 * inv, 0.0)
+    v2 = jnp.where(ok, v2 * inv, 1.0)
+    k = 1.0 - 1e-3
+    return jnp.stack(
+        [1.0 - k * v0 * v0, -k * v0 * v1, -k * v0 * v2,
+         1.0 - k * v1 * v1, -k * v1 * v2, 1.0 - k * v2 * v2],
+        axis=-2,
+    )
 
 
 def _mahalanobis_terms(p, q, M):

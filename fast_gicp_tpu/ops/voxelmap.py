@@ -84,6 +84,127 @@ class VoxelMap(NamedTuple):
     lut: jax.Array  # (T, 4) int32 [voxel index, cx, cy, cz]
 
 
+class DenseRawGridMap(NamedTuple):
+    """Raw accumulator map with a gather-friendly dense index grid -- the
+    fastest registration map (built fresh every align in odometry).
+
+    TPU memory facts that shape the design (measured on v5e at 22k points,
+    524k cells):
+      * scatters into VMEM-sized tables run fast; scatters into a dense
+        (524k, 16) f32 HBM table are latency-bound at ~70 ns per update
+        row (~1.5 ms per build) -- so the per-voxel stats stay in a
+        COMPACT (N + 1, 16) table (1.4 MB, VMEM-resident) keyed by
+        representative point index, like GridVoxelMap's sparse vids.
+      * a 1-D int32 gather lowers to a scalar-core kernel at ~7 elements/
+        us (160 us per LM iteration) -- so the dense claim grid is
+        RESHAPED to (ncells/8 + 1, 8) rows: lookup = one int32 ROW gather
+        + an 8-lane one-hot pick, never a 1-D gather.
+      * stats rows are UNFINALIZED additive sums [count, sum mean (3),
+        sum cov (9), pad (3)] -- consumers divide after gathering (in the
+        fused Pallas kernel), which deletes the build's finalize and pack
+        passes entirely.
+
+    Row N of `rows` is an all-zero sentinel: misses (empty cell, out of
+    grid, masked point) resolve there and read back count = 0.  Additive
+    accumulation semantics identical to AdditiveGaussianVoxel
+    (fast_vgicp_voxel.hpp:105-122).
+    """
+
+    rows: jax.Array  # (N + 1, 16) f32 raw sums; row N zeros
+    grid8: jax.Array  # (ncells/8 + 1, 8) int32 -> rep point index or N
+    origin: jax.Array  # (3,) int32 voxel coord of cell 0
+    resolution: jax.Array  # () f32
+
+
+def _pick8(grid8, flat):
+    """grid8 row-gather + one-hot lane pick: flat cell ids (...,) -> the
+    stored rep index.  The last row (all-sentinel) serves parked queries."""
+    r8 = grid8[flat >> 3]  # (..., 8) int32 row gather
+    lane = (flat & 7)[..., None]
+    iota = jnp.arange(8, dtype=flat.dtype)
+    return jnp.sum(jnp.where(iota == lane, r8, 0), axis=-1)
+
+
+def build_raw_grid(points, mask, resolution, covs, grid_dims):
+    """Build a `DenseRawGridMap` from (N, 3) points + per-point covariances.
+
+    covs may be (N, 3, 3) AoS, (N, 9) row-major rows, or (6, N) sym-6
+    columns (the SoA covariance pipeline's native format).
+    """
+    from . import soa
+
+    n = points.shape[0]
+    dtype = points.dtype
+    gx, gy, gz = grid_dims
+    ncells = gx * gy * gz
+    if ncells % 8:
+        raise ValueError(f"grid cell count {ncells} must be a multiple of 8")
+
+    coords = voxel_coord(points, resolution)
+    origin = jnp.min(
+        jnp.where(mask[:, None], coords, _COORD_SENTINEL), axis=0
+    )
+    rel = coords - origin
+    dims = jnp.asarray([gx, gy, gz], jnp.int32)
+    inside = mask & jnp.all((rel >= 0) & (rel < dims), axis=-1)
+    flat = (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2]
+    flat = jnp.where(inside, flat, ncells)  # parked on the sentinel tail
+
+    # Claim: lowest member point index per cell (the dataflow analogue of
+    # the reference's atomicCAS claim, gaussian_voxelmap.cu:41-43) -- a
+    # 1-D int32 scatter-min into the 2 MB grid.  Unclaimed cells keep `n`
+    # (-> the zero stats row).  The trailing 8 slots form the sentinel row.
+    point_idx = jnp.arange(n, dtype=jnp.int32)
+    claim = jnp.full(ncells + 8, n, jnp.int32).at[flat].min(point_idx)
+    grid8 = claim.reshape(ncells // 8 + 1, 8)
+    rep = _pick8(grid8, flat)
+
+    if covs.ndim == 3:
+        cov9 = covs.reshape(n, 9)
+    elif covs.shape == (6, n):
+        cov9 = soa.sym_cols_to_rows9(covs)
+    else:
+        cov9 = covs
+    contrib = jnp.concatenate(
+        [
+            jnp.ones((n, 1), dtype),
+            points,
+            cov9,
+            jnp.zeros((n, 3), dtype),
+        ],
+        axis=1,
+    ) * inside.astype(dtype)[:, None]
+    # Parked points carry rep == n and zeroed contribs -> row n stays zero.
+    vid = jnp.where(inside, rep, n)
+    rows = jnp.zeros((n + 1, 16), dtype).at[vid].add(contrib)
+    return DenseRawGridMap(
+        rows=rows,
+        grid8=grid8,
+        origin=origin,
+        resolution=jnp.asarray(resolution, dtype),
+    )
+
+
+def lookup_raw_rows_cols(dmap: DenseRawGridMap, grid_dims, cx, cy, cz):
+    """Gather raw accumulator rows for integer coord columns (...,) each.
+
+    Two row gathers (int32 grid8 + f32 stats); count 0 in the returned
+    rows means miss (out of grid or empty cell)."""
+    gx, gy, gz = grid_dims
+    ncells = gx * gy * gz
+    n = dmap.rows.shape[0] - 1
+    rx = cx - dmap.origin[0]
+    ry = cy - dmap.origin[1]
+    rz = cz - dmap.origin[2]
+    inside = (
+        (rx >= 0) & (rx < gx) & (ry >= 0) & (ry < gy) & (rz >= 0) & (rz < gz)
+    )
+    flat = jnp.where(inside, (rx * gy + ry) * gz + rz, ncells)
+    vid = _pick8(dmap.grid8, flat)
+    # parked queries hit grid8's sentinel tail (= n) -> zero stats row
+    return dmap.rows[jnp.where(inside, vid, n)]
+
+
 class GridVoxelMap(NamedTuple):
     """Gaussian voxel map with a dense 3-D index grid instead of a hash
     table: lookup is ONE gather (vs `MAX_PROBE` verified hash probes) and

@@ -262,9 +262,9 @@ def _odometry_scan_deltas_impl(pts, msk, config, warm_start):
     import jax
     import jax.numpy as jnp
 
-    from ..models.vgicp import make_vgicp_objective
-    from ..ops.covariance import rbf_covariances
-    from ..ops.voxelmap import build_voxelmap, neighbor_offsets
+    from ..models.vgicp import _build_target_map, make_vgicp_objective
+    from ..ops.covariance import rbf_covariance_cols
+    from ..ops.voxelmap import neighbor_offsets
     from ..solver import lsq_solve
 
     offsets = jnp.asarray(
@@ -276,17 +276,17 @@ def _odometry_scan_deltas_impl(pts, msk, config, warm_start):
     def step(carry, frame):
         delta, prev_p, prev_m, prev_c = carry
         p, m = frame
-        c = rbf_covariances(p, m)
-        vm = build_voxelmap(
-            prev_p, prev_m, config.resolution, covs=prev_c,
-            mode=config.voxel_accumulation, grid_dims=config.grid_dims,
-        )
+        # Covariances ride as (6, N) sym columns end-to-end (no (N, 3, 3)
+        # AoS tensor ever exists in the hot loop); each frame's columns
+        # serve as this pair's source covs and the next pair's target map.
+        c = rbf_covariance_cols(p, m)
+        vm = _build_target_map(prev_p, prev_m, prev_c, config)
         lin, err = make_vgicp_objective(p, m, c, vm, offsets, config)
         guess = delta if warm_start else jnp.eye(4, dtype=jnp.float32)
         result = lsq_solve(lin, err, guess, config.lsq)
         return (result.transformation, p, m, c), result.transformation
 
-    c0 = rbf_covariances(pts[0], msk[0])
+    c0 = rbf_covariance_cols(pts[0], msk[0])
     init = (jnp.eye(4, dtype=jnp.float32), pts[0], msk[0], c0)
     _, deltas = jax.lax.scan(step, init, (pts[1:], msk[1:]))
     return deltas
@@ -344,6 +344,19 @@ def run_odometry_scan(
     clouds = [voxel_downsample(s, downsample_resolution) for s in scans]
     if len(clouds) < 2:
         return [np.eye(4)] * len(clouds)
+    if config.grid_dims is None:
+        # Dense-grid maps are ~2x faster to build and ~5x faster to look up
+        # than the hash map; auto-size from sampled frames (sensor-frame
+        # extent tracks range, not travel).  Falls back to the hash map
+        # (None) when the extent/resolution doesn't fit a dense grid.
+        from ..ops.voxelmap import auto_grid_dims
+
+        sample = np.concatenate(
+            [clouds[0], clouds[len(clouds) // 2], clouds[-1]]
+        )
+        config = config._replace(
+            grid_dims=auto_grid_dims(sample, config.resolution)
+        )
     bucket = max(bucket_size(len(c)) for c in clouds)
     padded = [pad_points(c, bucket) for c in clouds]
     pts = jnp.asarray(np.stack([p for p, _ in padded]))  # (F, N, 3)
