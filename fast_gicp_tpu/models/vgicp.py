@@ -135,6 +135,10 @@ def make_vgicp_objective(
             ]
         )
 
+    # Untransformed source columns, flattened once: the error kernel
+    # applies the trial pose in-kernel, so inner LM trials reuse this.
+    P_flat = _flatten_pt(P) if use_fused else None
+
     if use_fused and raw_grid:
         mask_row = jnp.broadcast_to(
             source_mask[None, :], (k, n)
@@ -153,8 +157,7 @@ def make_vgicp_objective(
             return _psum(err), _psum(H), _psum(b), aux
 
         def error(x, aux):
-            p_t = soa.transform_cols(x, P)
-            return _psum(pallas_linearize.error_pallas(_flatten_pt(p_t), aux))
+            return _psum(pallas_linearize.error_pallas(P_flat, aux, x))
 
         return linearize, error
 
@@ -207,8 +210,7 @@ def make_vgicp_objective(
             return _psum(err), _psum(H), _psum(b), aux
 
         def error(x, aux):
-            p_t = soa.transform_cols(x, P)
-            return _psum(pallas_linearize.error_pallas(_flatten_pt(p_t), aux))
+            return _psum(pallas_linearize.error_pallas(P_flat, aux, x))
 
         return linearize, error
 

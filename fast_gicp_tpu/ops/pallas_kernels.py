@@ -146,30 +146,47 @@ def nn_search_pallas(query, target, target_mask, interpret: bool = False):
     return idx[:, 0], jnp.maximum(dist[:, 0], 0.0)
 
 
-def _rbf_kernel(kw_ref, md_ref, q_ref, t_ref, f_ref, out_ref):
+def _rbf_kernel(rel_ref, kw_ref, md_ref, q_ref, t_ref, f_ref, out_ref):
     """Feature and output operands are TRANSPOSED ((32, TT) block, (32, QT)
     out) so the caller never relayouts an (N, 32) matrix — XLA-side
-    (N, k)<->(k, N) transposes cost ~100 us each at 22k points."""
+    (N, k)<->(k, N) transposes cost ~100 us each at 22k points.
+
+    rel_ref (SMEM, (nq_tiles, nt_tiles) int32) is the spatial CULLING
+    mask: pairs of tiles whose bounding boxes sit farther than max_dist
+    apart contribute exactly zero weight and skip the distance/exp/matmul
+    body entirely.  Clouds arrive voxel-key sorted from the downsampler,
+    so nearby points share tiles and most tile pairs are irrelevant
+    (~70-85% skipped on LiDAR scans).
+    """
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    d = _sq_dists(q_ref[:], t_ref[:])  # (QT, TT)
-    kw = kw_ref[0]
-    md_sq = md_ref[0]
-    w = jnp.where(d <= md_sq, jnp.exp(-kw * d), 0.0)
-    # Masked target points carry coords ~1e9 -> d > md_sq -> w = 0.
-    out_ref[:] += jax.lax.dot_general(
-        f_ref[:].astype(jnp.bfloat16),  # (32, TT)
-        w.astype(jnp.bfloat16),  # (QT, TT)
-        (((1,), (1,)), ((), ())),  # contract over the target tile
-        preferred_element_type=jnp.float32,
-        # Explicit: callers run under default_matmul_precision("float32"),
-        # which Mosaic rejects for bf16 operands (single native pass here).
-        precision=jax.lax.Precision.DEFAULT,
-    )
+    @pl.when(rel_ref[i, j] != 0)
+    def _():
+        d = _sq_dists(q_ref[:], t_ref[:])  # (QT, TT)
+        kw = kw_ref[0]
+        md_sq = md_ref[0]
+        w = jnp.where(d <= md_sq, jnp.exp(-kw * d), 0.0)
+        # Masked target points carry coords ~1e9 -> d > md_sq -> w = 0.
+        # f_ref arrives ALREADY bf16 (see the caller: the hi/lo split must
+        # cross the pallas boundary as a real bf16 array — an f32 operand
+        # with an .astype(bf16).astype(f32) round-trip gets ELIDED by XLA
+        # under jit, silently collapsing the split to single-bf16
+        # precision and corrupting far-from-center covariances).
+        out_ref[:] += jax.lax.dot_general(
+            f_ref[:],  # (32, TT) bf16
+            w.astype(jnp.bfloat16),  # (QT, TT)
+            (((1,), (1,)), ((), ())),  # contract over the target tile
+            preferred_element_type=jnp.float32,
+            # Explicit: callers run under default_matmul_precision
+            # ("float32"), which Mosaic rejects for bf16 operands
+            # (single native pass here).
+            precision=jax.lax.Precision.DEFAULT,
+        )
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -228,17 +245,59 @@ def rbf_moments_centered_T(points, mask, kernel_width, max_dist,
          zero, zero, zero],
         axis=0,
     )  # (16, N)
-    hi = feats_rows.astype(jnp.bfloat16).astype(f32)
-    feats2 = jnp.concatenate([hi, feats_rows - hi], axis=0)  # (32, N)
+    # hi/lo bf16 split via MANTISSA BIT MASKING: XLA-TPU's excess-precision
+    # simplification treats convert(convert(f, bf16), f32) as f itself, so
+    # the naive `lo = f - f.astype(bf16).astype(f32)` folds to ZERO inside
+    # a jit — silently collapsing the split to single bf16 (measured
+    # 0.004|y|^2 ~ 15 m^2 covariance errors on 60 m-extent clouds).
+    # Truncating the low 16 mantissa bits through a uint32 bitcast is
+    # opaque to the simplifier: hi is exactly bf16-representable,
+    # f = hi + lo exactly in f32, and bf16(lo) rounds at ~2^-17 |f|.
+    fu = jax.lax.bitcast_convert_type(feats_rows, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        fu & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: mantissa already truncated
+    lo = (feats_rows - hi_f32).astype(jnp.bfloat16)
+    feats2 = jnp.concatenate([hi, lo], axis=0)  # (32, N) bf16
+
+    # Tile-pair culling mask from per-tile bounding boxes (masked points
+    # excluded — they contribute zero weight regardless).
+    nq_t, nt_t = n // _RQT, n // _RTT
+    big = 1.0e18
+    gap_sq = jnp.zeros((nq_t, nt_t), f32)
+    for a in range(3):
+        ya = y[:, a]
+        lo = jnp.where(mvalid > 0, ya, big)
+        hi_a = jnp.where(mvalid > 0, ya, -big)
+        qmin = lo.reshape(nq_t, _RQT).min(1)
+        qmax = hi_a.reshape(nq_t, _RQT).max(1)
+        tmin = lo.reshape(nt_t, _RTT).min(1)
+        tmax = hi_a.reshape(nt_t, _RTT).max(1)
+        gap = jnp.maximum(
+            0.0,
+            jnp.maximum(
+                qmin[:, None] - tmax[None, :], tmin[None, :] - qmax[:, None]
+            ),
+        )
+        gap_sq = gap_sq + gap * gap
+    # exact sphere test: any point pair across the two boxes is at least
+    # sqrt(gap_sq) apart, so gap_sq > max_dist^2 -> all weights zero
+    rel = (gap_sq <= max_dist * max_dist).astype(jnp.int32)
+    import os
+
+    if os.environ.get("FAST_GICP_TPU_NO_CULL"):  # debug escape hatch
+        rel = jnp.ones_like(rel)
 
     kw = jnp.full((1,), kernel_width, f32)
     md = jnp.full((1,), max_dist * max_dist, f32)
 
-    grid = (n // _RQT, n // _RTT)
+    grid = (nq_t, nt_t)
     out = pl.pallas_call(
         _rbf_kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, _RQT), lambda i, j: (0, i)),
@@ -248,7 +307,7 @@ def rbf_moments_centered_T(points, mask, kernel_width, max_dist,
         out_specs=pl.BlockSpec((32, _RQT), lambda i, j: (0, i)),
         out_shape=jax.ShapeDtypeStruct((32, n), jnp.float32),
         interpret=interpret,
-    )(kw, md, pT, pT, feats2)
+    )(rel, kw, md, pT, pT, feats2)
     return out[:16] + out[16:], center  # recombine hi + lo halves (f32)
 
 

@@ -237,14 +237,23 @@ def _linearize_call(kernel, p_t, cov_rot, rows_t, valid_f, interpret):
     return err, H, b, aux
 
 
-def _error_kernel(pt_ref, aux_ref, out_ref):
+def _error_kernel(p_ref, x_ref, aux_ref, out_ref):
+    """Trial-pose error with the rigid transform fused IN-KERNEL: p_ref
+    carries the UNtransformed source columns and x_ref an (8, 128) tile
+    whose top-left 4x4 is the trial pose — so each LM inner trial is ONE
+    kernel launch (the XLA-side transform fusion + flatten concat per
+    trial cost ~15 us each at 22k points)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    p0, p1, p2 = pt_ref[0], pt_ref[1], pt_ref[2]
+    s0, s1, s2 = p_ref[0], p_ref[1], p_ref[2]
+    x = x_ref
+    p0 = x[0, 0] * s0 + x[0, 1] * s1 + x[0, 2] * s2 + x[0, 3]
+    p1 = x[1, 0] * s0 + x[1, 1] * s1 + x[1, 2] * s2 + x[1, 3]
+    p2 = x[2, 0] * s0 + x[2, 1] * s1 + x[2, 2] * s2 + x[2, 3]
     m = tuple(aux_ref[k] for k in range(6))
     w = aux_ref[6]
     q0, q1, q2 = aux_ref[7], aux_ref[8], aux_ref[9]
@@ -257,20 +266,25 @@ def _error_kernel(pt_ref, aux_ref, out_ref):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def error_pallas(p_t, aux, interpret: bool = False):
-    """Fused trial-pose error against the frozen aux pack."""
-    n = p_t.shape[1]
+def error_pallas(p_src, aux, x, interpret: bool = False):
+    """Fused trial-pose error against the frozen aux pack.
+
+    p_src: (8, N) UNtransformed source columns; x: (4, 4) trial pose —
+    the rigid transform runs inside the kernel (one launch per trial)."""
+    n = p_src.shape[1]
     if n % _NT:
         raise ValueError(f"n={n} not a multiple of {_NT}")
+    x_tile = jnp.zeros((8, 128), p_src.dtype).at[:4, :4].set(x)
     out = pl.pallas_call(
         _error_kernel,
         grid=(n // _NT,),
         in_specs=[
             pl.BlockSpec((8, _NT), lambda i: (0, i)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
             pl.BlockSpec((_AUX_ROWS, _NT), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((8, 32), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((8, 32), jnp.float32),
         interpret=interpret,
-    )(p_t, aux)
+    )(p_src, x_tile, aux)
     return out[0, 0]

@@ -57,11 +57,13 @@ def test_fused_matches_soa(rng):
     np.testing.assert_allclose(np.asarray(b_f), np.asarray(b_s),
                                rtol=3e-3, atol=0.5)
 
-    # error kernel vs SoA error at a different pose
+    # error kernel vs SoA error at a different pose (the kernel applies
+    # the trial pose in-kernel from the untransformed source columns)
     x2 = se3.se3_exp(jnp.asarray(np.float32([0.02, 0.01, -0.03, 0.1, 0.2, 0])))
     P2 = soa.transform_cols(x2, P)
     e_soa = soa.error_cols(P2, Q, M, w, valid)
-    e_fused = pallas_linearize.error_pallas(pad8(P2), aux, interpret=INTERPRET)
+    e_fused = pallas_linearize.error_pallas(pad8(P), aux, x2,
+                                            interpret=INTERPRET)
     np.testing.assert_allclose(float(e_fused), float(e_soa), rtol=1e-4)
 
 
@@ -134,10 +136,40 @@ def test_rbf_covariance_far_from_origin(rng):
             jnp.asarray(x), jnp.asarray(mask), 0.5, 3.0, interpret=INTERPRET
         )
     )
+    _assert_cov_close(out, x, mask)
+
+
+def test_rbf_covariance_wide_extent(rng):
+    """LiDAR-scale INTERNAL extent (+-60 m clusters): centering does not
+    help here, only the hi/lo feature split does.  Guards against the
+    split degenerating to single bf16 (XLA elides an f32->bf16->f32
+    round-trip under jit, which once silently produced 0.004|y|^2 ~ 14 m^2
+    covariance errors on exactly this geometry)."""
+    from fast_gicp_tpu.ops import pallas_kernels
+
+    n = 2048
+    centers = rng.uniform(-60, 60, (64, 3)).astype(np.float32)
+    centers[:, 2] *= 0.05
+    x = (centers[rng.integers(0, 64, n)]
+         + rng.normal(size=(n, 3))).astype(np.float32)
+    mask = np.ones(n, bool)
+
+    out = np.asarray(
+        pallas_kernels.rbf_moments_pallas(
+            jnp.asarray(x), jnp.asarray(mask), 0.5, 3.0, interpret=INTERPRET
+        )
+    )
+    _assert_cov_close(out, x, mask)
+
+
+def _assert_cov_close(out, x, mask):
+    """Covariances derived from kernel moments must match the f64
+    reference (the cancellation-sensitive output)."""
+    n = x.shape[0]
     s_w, s_wx, s_wxx = _rbf_reference(x, mask, 0.5, 3.0)
 
-    # Compare the derived covariances (the cancellation-sensitive output).
     def covs(sw, swx, swxx):
+        sw = np.maximum(sw, 1e-9)
         mean = swx / sw[:, None]
         return swxx / sw[:, None, None] - np.einsum(
             "ni,nj->nij", mean, mean
@@ -145,6 +177,7 @@ def test_rbf_covariance_far_from_origin(rng):
 
     c_ref = covs(s_w, s_wx, s_wxx)
     c_out = covs(out[:, 0], out[:, 1:4], out[:, 4:13].reshape(n, 3, 3))
-    scale = np.abs(np.trace(c_ref, axis1=1, axis2=2) / 3).mean()
-    err = np.abs(c_out - c_ref).max()
+    live = s_w > 1.0  # queries with a real neighborhood
+    scale = np.abs(np.trace(c_ref[live], axis1=1, axis2=2) / 3).mean()
+    err = np.abs(c_out - c_ref)[live].max()
     assert err < 0.05 * max(scale, 1.0), (err, scale)
