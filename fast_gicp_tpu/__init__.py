@@ -49,6 +49,11 @@ from .models.pose_graph import (
     PoseGraphResult,
     optimize_pose_graph,
 )
+from .models.pose_graph_sparse import (
+    SlidingWindowBA,
+    SparsePGConfig,
+    optimize_pose_graph_sparse,
+)
 from .models.metrics import fitness_score, pose_error
 
 __version__ = "0.1.0"
@@ -79,6 +84,9 @@ __all__ = [
     "PoseGraphConfig",
     "PoseGraphResult",
     "optimize_pose_graph",
+    "SlidingWindowBA",
+    "SparsePGConfig",
+    "optimize_pose_graph_sparse",
     "fitness_score",
     "pose_error",
 ]

@@ -245,19 +245,20 @@ def rbf_moments_centered_T(points, mask, kernel_width, max_dist,
          zero, zero, zero],
         axis=0,
     )  # (16, N)
-    # hi/lo bf16 split via MANTISSA BIT MASKING: XLA-TPU's excess-precision
-    # simplification treats convert(convert(f, bf16), f32) as f itself, so
-    # the naive `lo = f - f.astype(bf16).astype(f32)` folds to ZERO inside
-    # a jit — silently collapsing the split to single bf16 (measured
-    # 0.004|y|^2 ~ 15 m^2 covariance errors on 60 m-extent clouds).
-    # Truncating the low 16 mantissa bits through a uint32 bitcast is
-    # opaque to the simplifier: hi is exactly bf16-representable,
-    # f = hi + lo exactly in f32, and bf16(lo) rounds at ~2^-17 |f|.
+    # hi/lo bf16 split via MANTISSA BIT ROUNDING: XLA-TPU's excess-
+    # precision simplification treats convert(convert(f, bf16), f32) as f
+    # itself, so the naive `lo = f - f.astype(bf16).astype(f32)` folds to
+    # ZERO inside a jit — silently collapsing the split to single bf16
+    # (measured 0.004|y|^2 ~ 15 m^2 covariance errors on 60 m-extent
+    # clouds).  Rounding the low 16 mantissa bits away through a uint32
+    # bitcast (+0x8000 = round-to-nearest on the magnitude) is opaque to
+    # the simplifier: hi is exactly bf16-representable, f32's f - hi is
+    # exact, and bf16(lo) rounds at ~2^-18 |f|.
     fu = jax.lax.bitcast_convert_type(feats_rows, jnp.uint32)
     hi_f32 = jax.lax.bitcast_convert_type(
-        fu & jnp.uint32(0xFFFF0000), jnp.float32
+        (fu + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000), jnp.float32
     )
-    hi = hi_f32.astype(jnp.bfloat16)  # exact: mantissa already truncated
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: mantissa already rounded
     lo = (feats_rows - hi_f32).astype(jnp.bfloat16)
     feats2 = jnp.concatenate([hi, lo], axis=0)  # (32, N) bf16
 

@@ -76,3 +76,142 @@ def test_loop_closure_corrects_drift(rng):
     assert drift1 < 0.2 * drift0, (drift0, drift1)
     # gauge: pose 0 stays pinned
     np.testing.assert_allclose(opt[0], np.eye(4), atol=1e-4)
+
+
+def test_sparse_matches_dense(rng):
+    """Block-sparse PCG solver reproduces the dense GN solver."""
+    from fast_gicp_tpu.models.pose_graph_sparse import (
+        SparsePGConfig, optimize_pose_graph_sparse,
+    )
+
+    gt = _chain(rng, k=10)
+    k = len(gt)
+    i, j, rel = edges_from_odometry(gt)
+    noise = rng.normal(scale=0.01, size=(k - 1, 6)).astype(np.float32)
+    rel_noisy = np.stack(
+        [r @ np.asarray(se3.se3_exp(jnp.asarray(n)), np.float32)
+         for r, n in zip(rel, noise)]
+    )
+    drifted = [np.eye(4, dtype=np.float64)]
+    for r in rel_noisy:
+        drifted.append(drifted[-1] @ r.astype(np.float64))
+    lc_rel = (np.linalg.inv(gt[0]) @ gt[-1]).astype(np.float32)
+    edge_i = np.concatenate([i, [0]]).astype(np.int32)
+    edge_j = np.concatenate([j, [k - 1]]).astype(np.int32)
+    edge_rel = np.concatenate([rel_noisy, lc_rel[None]])
+    info = np.broadcast_to(np.eye(6, dtype=np.float32), (k, 6, 6)).copy()
+    info[-1] *= 1e4
+
+    dense = optimize_pose_graph(
+        jnp.asarray(np.stack(drifted), jnp.float32),
+        jnp.asarray(edge_i), jnp.asarray(edge_j), jnp.asarray(edge_rel),
+        jnp.asarray(info), PoseGraphConfig(max_iterations=20),
+    )
+    sparse = optimize_pose_graph_sparse(
+        jnp.asarray(np.stack(drifted), jnp.float32),
+        jnp.asarray(edge_i), jnp.asarray(edge_j), jnp.asarray(edge_rel),
+        jnp.asarray(info), config=SparsePGConfig(max_iterations=20),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse.poses), np.asarray(dense.poses), atol=2e-3
+    )
+
+
+def test_sparse_scales_to_1k_keyframes(rng):
+    """1000-keyframe drifted chain + 10 loop closures solves fast and
+    recovers the trajectory (the dense solver's (6K)^2 system would be
+    36M entries here)."""
+    import time
+
+    from fast_gicp_tpu.models.pose_graph_sparse import (
+        SparsePGConfig, optimize_pose_graph_sparse,
+    )
+
+    k = 1000
+    gt = _chain(rng, k=k, step=np.float32([0, 0, 0.006, 1.0, 0.0, 0]))
+    i, j, rel = edges_from_odometry(gt)
+    noise = rng.normal(scale=0.004, size=(k - 1, 6)).astype(np.float32)
+    rel_noisy = np.einsum(
+        "eij,ejk->eik", rel,
+        np.asarray(se3.se3_exp(jnp.asarray(noise)), np.float32),
+    )
+    drifted = [np.eye(4, dtype=np.float64)]
+    for r in rel_noisy:
+        drifted.append(drifted[-1] @ r.astype(np.float64))
+    drift0 = np.linalg.norm(drifted[-1][:3, 3] - np.asarray(gt[-1])[:3, 3])
+
+    # loop closures across the loop (the chain curves 6 rad over 1000
+    # frames, so early and late frames revisit each other spatially) —
+    # short-range edges cannot remove global drift
+    lc_i = (np.arange(10) * 25).astype(np.int32)
+    lc_j = (k - 1 - np.arange(10) * 25).astype(np.int32)
+    lc_rel = np.stack([
+        (np.linalg.inv(gt[a]) @ gt[b]).astype(np.float32)
+        for a, b in zip(lc_i, lc_j)
+    ])
+    edge_i = np.concatenate([i, lc_i]).astype(np.int32)
+    edge_j = np.concatenate([j, lc_j]).astype(np.int32)
+    edge_rel = np.concatenate([rel_noisy, lc_rel])
+    info = np.broadcast_to(
+        np.eye(6, dtype=np.float32), (len(edge_i), 6, 6)
+    ).copy()
+    info[k - 1:] *= 1e4
+
+    res = optimize_pose_graph_sparse(
+        jnp.asarray(np.stack(drifted), jnp.float32),
+        jnp.asarray(edge_i), jnp.asarray(edge_j), jnp.asarray(edge_rel),
+        jnp.asarray(info), config=SparsePGConfig(max_iterations=15),
+    )
+    _ = np.asarray(res.poses)  # compile + run
+    t0 = time.time()
+    res = optimize_pose_graph_sparse(
+        jnp.asarray(np.stack(drifted), jnp.float32),
+        jnp.asarray(edge_i), jnp.asarray(edge_j), jnp.asarray(edge_rel),
+        jnp.asarray(info), config=SparsePGConfig(max_iterations=15),
+    )
+    opt = np.asarray(res.poses, np.float64)
+    dt = time.time() - t0
+    drift1 = np.linalg.norm(opt[-1][:3, 3] - np.asarray(gt[-1])[:3, 3])
+    assert drift1 < 0.3 * drift0, (drift0, drift1)
+    assert dt < 10.0, dt  # warm solve well under a second on TPU; lenient on CPU
+
+
+def test_sliding_window_ba(rng):
+    """Sliding-window BA: bounded window with marginalization prior keeps
+    the live trajectory close to the full batch solution."""
+    from fast_gicp_tpu.models.pose_graph_sparse import (
+        SlidingWindowBA, SparsePGConfig,
+    )
+
+    k = 30
+    gt = _chain(rng, k=k, step=np.float32([0, 0, 0.05, 0.8, 0.0, 0]))
+    i, j, rel = edges_from_odometry(gt)
+    noise = rng.normal(scale=0.005, size=(k - 1, 6)).astype(np.float32)
+    rel_noisy = [
+        r @ np.asarray(se3.se3_exp(jnp.asarray(n)), np.float32)
+        for r, n in zip(rel, noise)
+    ]
+
+    ba = SlidingWindowBA(window=10, config=SparsePGConfig(max_iterations=10))
+    for r in rel_noisy:
+        ba.add_keyframe(r)
+    assert len(ba.poses) == 10
+    assert ba.base == k - 10
+    res = ba.optimize()
+    assert res is not None and np.isfinite(np.asarray(res.poses)).all()
+    # loop edge inside the window pulls the tail toward ground truth
+    gi, gj = ba.base, k - 1
+    lc = (np.linalg.inv(gt[gi]) @ gt[gj]).astype(np.float32)
+    before = np.linalg.norm(
+        np.asarray(ba.poses[-1], np.float64)[:3, 3]
+        - (np.asarray(ba.poses[0], np.float64)
+           @ np.linalg.inv(gt[gi]) @ gt[gj])[:3, 3]
+    )
+    ba.add_loop_edge(gi, gj, lc, 1e4 * np.eye(6, dtype=np.float32))
+    ba.optimize()
+    after = np.linalg.norm(
+        np.asarray(ba.poses[-1], np.float64)[:3, 3]
+        - (np.asarray(ba.poses[0], np.float64)
+           @ np.linalg.inv(gt[gi]) @ gt[gj])[:3, 3]
+    )
+    assert after < before * 0.5 + 1e-6, (before, after)
