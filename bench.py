@@ -32,13 +32,18 @@ def main() -> None:
 
     from fast_gicp_tpu.models.vgicp import VGICPConfig, vgicp_register
     from fast_gicp_tpu.models.metrics import fitness_score
-    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from fast_gicp_tpu.utils.downsample import approximate_voxel_downsample
     from fast_gicp_tpu.utils.io import load_pcd, load_relative_txt, strip_near_origin
     from fast_gicp_tpu.utils.padding import pad_points
 
     data = "/root/reference/data"
-    target = voxel_downsample(strip_near_origin(load_pcd(f"{data}/251370668.pcd")), 0.1)
-    source = voxel_downsample(strip_near_origin(load_pcd(f"{data}/251371071.pcd")), 0.1)
+    # PCL-ApproximateVoxelGrid-compatible downsample: same filter as the
+    # reference benchmark (align.cpp:136-147), so the fitness column is
+    # directly comparable to the published 0.204.
+    target = approximate_voxel_downsample(
+        strip_near_origin(load_pcd(f"{data}/251370668.pcd")), 0.1)
+    source = approximate_voxel_downsample(
+        strip_near_origin(load_pcd(f"{data}/251371071.pcd")), 0.1)
     gt = load_relative_txt(f"{data}/relative.txt")
 
     sp, sm = map(jnp.asarray, pad_points(source))
@@ -71,14 +76,14 @@ def main() -> None:
     fitness = float(
         fitness_score(result.transformation, sp, sm, tp, tm)
     )
-    # Fitness context: the reference reports ~0.204 on PCL-ApproximateVoxelGrid
-    # clouds; on OUR (exact) voxel-grid downsample the fitness at the ground-
-    # truth pose itself is 0.2141, so ~0.2148 is at the optimum — the gap is
-    # the point set, not the alignment.
+    # Fitness context: the reference publishes 0.204067 for vgicp on clouds
+    # filtered by pcl::ApproximateVoxelGrid; the PCL-compatible downsample
+    # above reproduces those clouds to ~0.5% (see utils/downsample.py), and
+    # the fitness at the ground-truth pose itself on these clouds is ~0.195
+    # — so ~0.20 converged fitness is at the optimum.
     print(
         f"# device={jax.devices()[0]} n_src={len(source)} n_tgt={len(target)} "
-        f"t_err={t_err:.4f}m fitness={fitness:.4f} (gt-pose fitness 0.2141 on "
-        f"these clouds; ref 0.204 on PCL clouds) "
+        f"t_err={t_err:.4f}m fitness={fitness:.4f} (ref 0.204067) "
         f"iters={int(result.iterations)} ms_per_reg={dt * 1000:.2f}",
         file=sys.stderr,
     )

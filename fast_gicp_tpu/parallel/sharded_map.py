@@ -44,7 +44,12 @@ from ..models.scan_to_map import (
     update_map,
 )
 from ..models.vgicp import VGICPConfig, make_vgicp_objective
-from ..ops.voxelmap import _hash_coords, neighbor_offsets, voxel_coord
+from ..ops.voxelmap import (
+    _hash_coords,
+    lookup_voxels_cols,
+    neighbor_offsets,
+    voxel_coord,
+)
 from ..precision import f32_matmuls
 from ..solver import lsq_solve
 from .sharded import DATA_AXIS, make_mesh, shard_map
@@ -199,6 +204,244 @@ def align_to_sharded_map(
     )
 
 
+def _owner_of(h, d):
+    """Voxel hash -> owning device (re-mixed high bits; see update)."""
+    h = (h ^ (h >> 16)) * jnp.uint32(0x9E3779B9)
+    return ((h >> 8) % jnp.uint32(d)).astype(jnp.int32)
+
+
+def _route_capacity(n_queries_per_device: int, d: int) -> int:
+    """Static per-(source, destination) packet capacity: mean n/d with 2x
+    slack for hash-placement variance, rounded up to the f32 tile width."""
+    mean = max(1, n_queries_per_device // d)
+    return max(128, -(-2 * mean // 128) * 128)
+
+
+@partial(jax.jit, static_argnames=("mesh", "config"))
+@f32_matmuls
+def align_to_sharded_map_partitioned(
+    mesh, state: ShardedMapState, source, source_mask, source_covs, guess,
+    config: ScanToMapConfig,
+):
+    """Compute-partitioned align: the SCAN is sharded over devices too.
+
+    `align_to_sharded_map` replicates the scan, so every device does the
+    full O(N*K) correspondence/linearize work against its map shard — map
+    CAPACITY scales with devices, frames/s does not.  Here each device
+    owns N/D source points and, per LM outer iteration:
+
+      1. transforms its shard, derives each query's voxel coords and the
+         voxel's OWNER device (the same ownership hash the update uses),
+      2. packs [coords | source point | R C_A R^T | valid] into 16-float
+         rows, compacts them per destination, and exchanges shards with
+         ONE `lax.all_to_all` (~N/D x 64 B per device per iteration),
+      3. looks up its local map shard for the queries it owns and reduces
+         the fused (err, H, b) over ~N/D correspondences,
+      4. `psum`s the 43-float normal equations — every device then steps
+         the SAME LM trajectory.
+
+    LM inner trials stay local: the routed packet carries the UNtransformed
+    source point, so the owner re-transforms at each trial pose against
+    its frozen Mahalanobis aux and only the scalar error is psummed.
+
+    Per-device compute is O(N*K/D) (vs O(N*K) replicated); exactness vs
+    the single-device solve is preserved up to summation order.  Packets
+    beyond the 2x-slack route capacity are dropped (hash placement keeps
+    per-destination counts ~N/D^2; see `sharded_routing_load` for the
+    measured balance).
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    n = source.shape[0]
+    n_local = n // d
+    offsets = jnp.asarray(
+        neighbor_offsets(
+            config.neighbor_search_method, config.neighbor_search_radius
+        )
+    )
+    k = offsets.shape[0]
+    cap = _route_capacity(k * n_local, d)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            _state_specs(axis), P(axis), P(axis), P(axis), P(), P(),
+        ),
+        out_specs=P(),
+    )
+    def run(st, src, smask, scovs, offs, g):
+        from ..ops import soa
+
+        local = _local_state(*st[:4], st.resolution)
+        vm = map_as_voxelmap(local)
+        me = jax.lax.axis_index(axis)
+
+        P3 = soa.cols_from_points(src)  # (3, nl)
+        C_A = soa.sym_cols_from_covs(scovs)  # (6, nl)
+        offs_T = offs.T[:, :, None]  # (3, K, 1)
+        nl = n_local
+
+        def route(x):
+            """Transform, bucket queries by owner, exchange; returns the
+            received queries (d*cap rows) unpacked for local lookup."""
+            p_t = soa.transform_cols(x, P3)  # (3, nl)
+            cr = soa.rotate_sym_cols(x[:3, :3], C_A)  # (6, nl)
+            coords = jnp.floor(p_t / vm.resolution - 0.5).astype(jnp.int32)
+            qx = (coords[0][None, :] + offs_T[0]).reshape(-1)  # (K*nl,)
+            qy = (coords[1][None, :] + offs_T[1]).reshape(-1)
+            qz = (coords[2][None, :] + offs_T[2]).reshape(-1)
+            h = (
+                (qx.astype(jnp.uint32) * jnp.uint32(73856093))
+                ^ (qy.astype(jnp.uint32) * jnp.uint32(19349669))
+                ^ (qz.astype(jnp.uint32) * jnp.uint32(83492791))
+            )
+            owner = _owner_of(h, d)
+            validq = jnp.broadcast_to(smask[None, :], (k, nl)).reshape(-1)
+
+            fi = jax.lax.bitcast_convert_type
+            rows = jnp.stack(
+                [
+                    fi(qx, jnp.float32), fi(qy, jnp.float32),
+                    fi(qz, jnp.float32),
+                    jnp.broadcast_to(p_t[0][None], (k, nl)).reshape(-1),
+                    jnp.broadcast_to(p_t[1][None], (k, nl)).reshape(-1),
+                    jnp.broadcast_to(p_t[2][None], (k, nl)).reshape(-1),
+                    *(jnp.broadcast_to(cr[c][None], (k, nl)).reshape(-1)
+                      for c in range(6)),
+                    validq.astype(jnp.float32),
+                    jnp.broadcast_to(src.T[0][None], (k, nl)).reshape(-1),
+                    jnp.broadcast_to(src.T[1][None], (k, nl)).reshape(-1),
+                    jnp.broadcast_to(src.T[2][None], (k, nl)).reshape(-1),
+                ],
+                axis=1,
+            )  # (K*nl, 16)
+
+            # Overflow/parked slots resolve to the appended all-zero row
+            # (valid flag 0).  NEVER mask these rows with a float multiply:
+            # columns 0..2 are BITCAST int32 coords whose small-integer bit
+            # patterns are denormal/NaN floats — `* 1.0` flushes/
+            # canonicalizes them and silently corrupts the coordinates.
+            padded_rows = jnp.concatenate(
+                [rows, jnp.zeros((1, 16), jnp.float32)]
+            )
+            buf = jnp.zeros((d, cap, 16), jnp.float32)
+            for dst in range(d):
+                sel = (owner == dst) & validq
+                (idx,) = jnp.nonzero(sel, size=cap, fill_value=k * nl)
+                buf = buf.at[dst].set(padded_rows[idx])
+            recv = jax.lax.all_to_all(
+                buf, axis, split_axis=0, concat_axis=0, tiled=True
+            )  # (d, cap, 16): block j = queries device j routed to me
+            return recv.reshape(d * cap, 16)
+
+        def local_pairs(recv):
+            """Lookup + unpack the routed queries on the owner."""
+            fi = jax.lax.bitcast_convert_type
+            qx = fi(recv[:, 0], jnp.int32)
+            qy = fi(recv[:, 1], jnp.int32)
+            qz = fi(recv[:, 2], jnp.int32)
+            valid_in = recv[:, 12] > 0.0
+            vids = lookup_voxels_cols(vm, qx, qy, qz)
+            valid = valid_in & (vids >= 0)
+            rows = vm.packed[jnp.maximum(vids, 0)]  # (d*cap, 16)
+            mu_B = rows[:, 0:3].T  # (3, M)
+            cov_B = jnp.stack(
+                [rows[:, 3], rows[:, 4], rows[:, 5],
+                 rows[:, 7], rows[:, 8], rows[:, 11]], axis=0
+            )
+            n_B = rows[:, 12]
+            p_t = recv[:, 3:6].T  # (3, M) at linearization pose
+            cr = recv[:, 6:12].T  # (6, M)
+            p_src = recv[:, 13:16].T  # (3, M) untransformed
+            return p_t, cr, mu_B, cov_B, n_B, valid, p_src
+
+        def linearize(x):
+            from ..ops import soa as _soa
+
+            recv = route(x)
+            p_t, cr, mu_B, cov_B, n_B, valid, p_src = local_pairs(recv)
+            M = _soa.inv_sym_cols(cov_B + cr) * valid[None, :]
+            w = jnp.sqrt(jnp.maximum(n_B, 0.0))
+            err, H, b = _soa.linearize_cols(p_t, mu_B, M, w, valid)
+            aux = (valid, M, w, mu_B, p_src)
+            return (
+                jax.lax.psum(err, axis),
+                jax.lax.psum(H, axis),
+                jax.lax.psum(b, axis),
+                aux,
+            )
+
+        def error(x, aux):
+            from ..ops import soa as _soa
+
+            valid, M, w, mu_B, p_src = aux
+            p_t = _soa.transform_cols(x, p_src)
+            return jax.lax.psum(
+                _soa.error_cols(p_t, mu_B, M, w, valid), axis
+            )
+
+        return lsq_solve(linearize, error, g, config.lsq)
+
+    return run(
+        state, source, source_mask, source_covs,
+        jnp.asarray(
+            neighbor_offsets(
+                config.neighbor_search_method, config.neighbor_search_radius
+            )
+        ),
+        guess.astype(source.dtype),
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "config"))
+def sharded_routing_load(
+    mesh, state: ShardedMapState, source, source_mask, guess,
+    config: ScanToMapConfig,
+):
+    """Diagnostic: per-device routed-query counts at `guess` — the
+    work-partition proxy (each count is that device's linearize workload;
+    balanced means ~N*K/D each)."""
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    n = source.shape[0]
+    offsets = jnp.asarray(
+        neighbor_offsets(
+            config.neighbor_search_method, config.neighbor_search_radius
+        )
+    )
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis), P(), P()),
+             out_specs=P(axis))
+    def run(src, smask, offs, g):
+        from ..ops import soa
+
+        P3 = soa.cols_from_points(src)
+        p_t = soa.transform_cols(g, P3)
+        res = state.resolution
+        coords = jnp.floor(p_t / res - 0.5).astype(jnp.int32)
+        offs_T = offs.T[:, :, None]
+        qx = (coords[0][None, :] + offs_T[0]).reshape(-1)
+        qy = (coords[1][None, :] + offs_T[1]).reshape(-1)
+        qz = (coords[2][None, :] + offs_T[2]).reshape(-1)
+        h = (
+            (qx.astype(jnp.uint32) * jnp.uint32(73856093))
+            ^ (qy.astype(jnp.uint32) * jnp.uint32(19349669))
+            ^ (qz.astype(jnp.uint32) * jnp.uint32(83492791))
+        )
+        owner = _owner_of(h, d)
+        validq = jnp.broadcast_to(
+            smask[None, :], (offs.shape[0], smask.shape[0])
+        ).reshape(-1)
+        counts = jnp.zeros((d,), jnp.int32).at[owner].add(
+            validq.astype(jnp.int32)
+        )
+        # each device's workload = total queries routed TO it
+        return jax.lax.psum(counts, axis)[jax.lax.axis_index(axis)][None]
+
+    return run(source, source_mask, offsets, guess.astype(source.dtype))
+
+
 class ShardedScanToMapOdometry(ScanToMapOdometry):
     """Multi-device mirror of ScanToMapOdometry: persistent hash-sharded
     world map, constant-velocity warm start, scan fusion at the estimate.
@@ -219,7 +462,7 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
         self.state = empty_sharded_map(self.mesh, cap_local, config.resolution)
 
     def _align(self, pts, mask, covs, guess):
-        return align_to_sharded_map(
+        return align_to_sharded_map_partitioned(
             self.mesh, self.state, pts, mask, covs, guess, self.config
         )
 

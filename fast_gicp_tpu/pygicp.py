@@ -17,7 +17,13 @@ from .models.gicp import FastGICP, FastGICPSingleThread  # noqa: F401
 from .models.ndt import NDTCuda
 from .models.vgicp import FastVGICP, FastVGICPCuda
 from .models.base import Registration  # noqa: F401  (pygicp.LsqRegistration)
-from .utils.downsample import voxel_downsample as downsample  # noqa: F401
+# pygicp.downsample is pcl::ApproximateVoxelGrid in the reference
+# (main.cpp:46-62) — use the PCL-compatible streaming-hash emulation so
+# point counts and fitness scores line up with published numbers.
+from .utils.downsample import (  # noqa: F401
+    approximate_voxel_downsample as downsample,
+    voxel_downsample,
+)
 
 LsqRegistration = Registration
 

@@ -13,6 +13,58 @@ from __future__ import annotations
 import numpy as np
 
 
+def approximate_voxel_downsample(
+    points: np.ndarray, resolution: float, histsize: int = 1536
+) -> np.ndarray:
+    """PCL `ApproximateVoxelGrid`-compatible downsample (vectorized).
+
+    The reference's apps and Python bindings filter through
+    pcl::ApproximateVoxelGrid (align.cpp:30-36, python/main.cpp:46-62),
+    whose output differs from an exact per-voxel centroid: it streams
+    points through a FIXED-SIZE hash of `histsize` accumulators with no
+    collision resolution — whenever a point maps to a bucket currently
+    holding a DIFFERENT voxel, the bucket's running centroid is flushed to
+    the output and restarted.  One output point per maximal run of
+    same-voxel hits per bucket (order-dependent), plus the final flush.
+
+    Emulated vectorized: group points by (bucket, file order), split runs
+    where the voxel id changes between consecutive hits of the same
+    bucket, and take run centroids.  PCL semantics: coords =
+    floor(p * 1/leaf), bucket = ((ix * 7171 + iy) * 3079 + iz) cast to
+    unsigned, modulo histsize.  With histsize=1536 this reproduces the
+    reference benchmark's post-filter counts on the bundled pair to
+    within 0.5% (17338/17570 vs the published 17249/17518,
+    README.md:116) — the residual delta is a PCL-version detail that
+    cannot be pinned down without the exact PCL source.
+    """
+    if resolution is None or resolution <= 0:
+        return np.ascontiguousarray(points[:, :3], dtype=np.float32)
+    pts = np.asarray(points[:, :3], dtype=np.float64)
+    pts = pts[np.isfinite(pts).all(axis=1)]
+    n = len(pts)
+    if n == 0:
+        return np.zeros((0, 3), np.float32)
+    c = np.floor(pts / resolution).astype(np.int64)
+    ix, iy, iz = c[:, 0], c[:, 1], c[:, 2]
+    # int32 wraparound like the C++ expression, then unsigned modulo
+    h = ((ix * 7171 + iy) * 3079 + iz).astype(np.int32).astype(np.int64)
+    bucket = np.mod(h.astype(np.uint64), np.uint64(histsize)).astype(np.int64)
+
+    order = np.lexsort((np.arange(n), bucket))  # by bucket, stable in time
+    b_s = bucket[order]
+    same_bucket = np.concatenate([[False], b_s[1:] == b_s[:-1]])
+    same_voxel = np.concatenate(
+        [[False], np.all(c[order][1:] == c[order][:-1], axis=1)]
+    )
+    new_run = ~(same_bucket & same_voxel)
+    run_id = np.cumsum(new_run) - 1
+    n_runs = run_id[-1] + 1
+    sums = np.zeros((n_runs, 3), np.float64)
+    np.add.at(sums, run_id, pts[order])
+    counts = np.bincount(run_id, minlength=n_runs).astype(np.float64)
+    return (sums / counts[:, None]).astype(np.float32)
+
+
 def voxel_downsample(points: np.ndarray, resolution: float) -> np.ndarray:
     """Centroid-per-voxel downsample of (N, 3) points; resolution <= 0 is a
     passthrough (align_points' downsample_resolution=-1 convention,

@@ -276,3 +276,34 @@ def test_map_save_load_roundtrip(tmp_path, rng):
     p_orig = odo.process(scans[2])
     p_res = resumed.process(scans[2])
     np.testing.assert_allclose(p_res, p_orig, atol=1e-5)
+
+
+def test_sharded_align_partitions_work():
+    """Compute partitioning proxy: the routed-query load (each device's
+    linearize workload in the partitioned align) must be ~N/D per device,
+    not N — the replicated align's per-device cost."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_gicp_tpu.models.scan_to_map import ScanToMapConfig
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import (
+        ShardedScanToMapOdometry, sharded_routing_load,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 4096
+    pts = jnp.asarray(rng.uniform(-25, 25, (n, 3)).astype(np.float32))
+    mask = jnp.ones(n, bool)
+    mesh = make_mesh(8)
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+    odo = ShardedScanToMapOdometry(cfg, mesh=mesh, covariance="knn")
+    odo.process(np.asarray(pts))  # initialize the sharded map
+
+    load = np.asarray(sharded_routing_load(
+        mesh, odo.state, pts, mask, jnp.eye(4, dtype=jnp.float32), cfg
+    ))
+    assert load.sum() == n  # every valid query routed exactly once
+    # hash placement balances within ~2x of the ideal N/D share
+    assert load.max() <= 2 * n // 8, load
+    assert load.min() >= n // 8 // 2, load
