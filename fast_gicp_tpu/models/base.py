@@ -29,13 +29,20 @@ from .metrics import fitness_score
 
 @dataclass
 class Cloud:
-    """Padded device-side cloud + lazily computed per-point covariances."""
+    """Padded device-side cloud + lazily computed per-point covariances.
+
+    `channels` carries an optional (M, C) per-point payload (intensity /
+    RGB / normals — the reference's PointXYZI/PointXYZRGB/PointNormal
+    template instantiations, fast_gicp.cpp:1-6).  Registration math uses
+    xyz only, exactly like the reference; the payload rides through
+    ingestion and back out via `Registration.aligned_source()`."""
 
     points: jax.Array  # (M, 3) f32
     mask: jax.Array  # (M,) bool
     size: int  # true point count
     covs: Optional[jax.Array] = None  # (M, 3, 3) f32
     host_points: Optional[np.ndarray] = None  # (M, 3) f32 (native paths)
+    channels: Optional[np.ndarray] = None  # (M, C) payload (host-side)
 
 
 def estimate_covariances(
@@ -109,6 +116,7 @@ class Registration:
     bucket: int = DEFAULT_BUCKET
 
     _source: Optional[Cloud] = field(default=None, repr=False)
+    _pending: Optional[object] = field(default=None, repr=False)
     _target: Optional[Cloud] = field(default=None, repr=False)
     _final_T: Optional[np.ndarray] = field(default=None, repr=False)
     _final_H: Optional[np.ndarray] = field(default=None, repr=False)
@@ -116,20 +124,29 @@ class Registration:
     _iterations: int = field(default=0, repr=False)
 
     # -- cloud management -------------------------------------------------
-    def _ingest(self, points: np.ndarray) -> Cloud:
-        padded, mask = pad_points(np.asarray(points), self.bucket)
+    def _ingest(self, points: np.ndarray, channels=None) -> Cloud:
+        points = np.asarray(points)
+        if channels is None and points.shape[1] > 3:
+            # (N, 3 + C) convenience: trailing columns are the payload
+            channels = points[:, 3:]
+        padded, mask = pad_points(points[:, :3], self.bucket)
+        ch = None
+        if channels is not None:
+            ch = np.zeros((padded.shape[0], channels.shape[1]), np.float32)
+            ch[: len(channels)] = channels
         return Cloud(
             points=jnp.asarray(padded),
             mask=jnp.asarray(mask),
             size=int(mask.sum()),
             host_points=padded,
+            channels=ch,
         )
 
-    def set_input_source(self, points: np.ndarray) -> None:
-        self._source = self._ingest(points)
+    def set_input_source(self, points: np.ndarray, channels=None) -> None:
+        self._source = self._ingest(points, channels)
 
-    def set_input_target(self, points: np.ndarray) -> None:
-        self._target = self._ingest(points)
+    def set_input_target(self, points: np.ndarray, channels=None) -> None:
+        self._target = self._ingest(points, channels)
 
     def swap_source_and_target(self) -> None:
         self._source, self._target = self._target, self._source
@@ -194,8 +211,19 @@ class Registration:
         )
 
     # -- alignment --------------------------------------------------------
-    def align(self, initial_guess: Optional[np.ndarray] = None) -> np.ndarray:
-        """Run registration; returns the final 4x4 transformation."""
+    def align_async(self, initial_guess: Optional[np.ndarray] = None):
+        """Enqueue the registration and return the DEVICE-side `LsqResult`
+        without synchronizing.
+
+        On a remote-device runtime every forced device->host transfer
+        costs a full round trip (~35 ms on this TPU tunnel), which
+        dominates `align()`'s wall time — pipelining callers (odometry
+        loops, batch schedulers) should use this, chain the returned
+        device arrays (e.g. feed `result.transformation` as the next
+        align's guess), and synchronize once at the end.  Host-side
+        getters (`get_final_transformation`, `has_converged`, ...) sync
+        lazily on first access.
+        """
         src, tgt = self._require_source(), self._require_target()
         guess = (
             jnp.eye(4, dtype=jnp.float32)
@@ -203,6 +231,16 @@ class Registration:
             else jnp.asarray(initial_guess, dtype=jnp.float32)
         )
         result = self._compute(src, tgt, guess)
+        self._pending = result
+        self._final_T = None
+        self._final_H = None
+        return result
+
+    def _sync_pending(self) -> None:
+        result = getattr(self, "_pending", None)
+        if result is None:
+            return
+        self._pending = None
         # One device->host transfer for everything (each forced transfer
         # costs a full runtime round trip).
         T, H, conv, iters = jax.device_get(
@@ -213,6 +251,11 @@ class Registration:
         self._final_H = np.asarray(H, dtype=np.float64)
         self._converged = bool(conv)
         self._iterations = int(iters)
+
+    def align(self, initial_guess: Optional[np.ndarray] = None) -> np.ndarray:
+        """Run registration; returns the final 4x4 transformation."""
+        self.align_async(initial_guess)
+        self._sync_pending()
         return self._final_T
 
     def _compute(self, source: Cloud, target: Cloud, guess: jax.Array):
@@ -234,20 +277,39 @@ class Registration:
         raise NotImplementedError
 
     # -- results ----------------------------------------------------------
+    def aligned_source(self) -> np.ndarray:
+        """The source cloud transformed by the final pose, payload columns
+        appended — the reference's `align(output)` output cloud, where
+        extra point fields ride along untouched (PointXYZI etc.)."""
+        self._sync_pending()
+        if self._final_T is None:
+            raise RuntimeError("align() has not been run")
+        src = self._require_source()
+        pts = np.asarray(src.host_points[: src.size], np.float64)
+        T = np.asarray(self._final_T, np.float64)
+        out = (pts @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+        if src.channels is not None:
+            out = np.concatenate([out, src.channels[: src.size]], axis=1)
+        return out
+
     def get_final_transformation(self) -> np.ndarray:
+        self._sync_pending()
         if self._final_T is None:
             raise RuntimeError("align has not been called")
         return self._final_T
 
     def get_final_hessian(self) -> np.ndarray:
+        self._sync_pending()
         if self._final_H is None:
             raise RuntimeError("align has not been called")
         return self._final_H
 
     def has_converged(self) -> bool:
+        self._sync_pending()
         return self._converged
 
     def get_num_iterations(self) -> int:
+        self._sync_pending()
         return self._iterations
 
     def get_fitness_score(self, max_range: float = math.inf) -> float:

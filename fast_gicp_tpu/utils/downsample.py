@@ -65,16 +65,31 @@ def approximate_voxel_downsample(
     return (sums / counts[:, None]).astype(np.float32)
 
 
-def voxel_downsample(points: np.ndarray, resolution: float) -> np.ndarray:
+def voxel_downsample(points: np.ndarray, resolution: float,
+                     channels: np.ndarray = None):
     """Centroid-per-voxel downsample of (N, 3) points; resolution <= 0 is a
     passthrough (align_points' downsample_resolution=-1 convention,
-    python/main.cpp:70-76)."""
+    python/main.cpp:70-76).
+
+    channels: optional (N, C) per-point payload (intensity/RGB/normals —
+    the reference's PointXYZI/PointXYZRGB/PointNormal instantiations,
+    fast_gicp.cpp:1-6); averaged per voxel and returned as a second
+    array."""
     if resolution is None or resolution <= 0:
-        return np.ascontiguousarray(points[:, :3], dtype=np.float32)
+        out = np.ascontiguousarray(points[:, :3], dtype=np.float32)
+        if channels is not None:
+            return out, np.asarray(channels, np.float32)
+        return out
     pts = np.asarray(points[:, :3], dtype=np.float64)
-    pts = pts[np.isfinite(pts).all(axis=1)]  # NaN/inf returns poison keys
+    finite = np.isfinite(pts).all(axis=1)  # NaN/inf returns poison keys
+    pts = pts[finite]
+    if channels is not None:
+        ch = np.asarray(channels, np.float64)[finite]
     if len(pts) == 0:
-        return np.zeros((0, 3), np.float32)
+        empty = np.zeros((0, 3), np.float32)
+        if channels is not None:
+            return empty, np.zeros((0, channels.shape[1]), np.float32)
+        return empty
     coords = np.floor(pts / resolution).astype(np.int64)
     cmin = coords.min(axis=0)
     c = coords - cmin
@@ -92,4 +107,9 @@ def voxel_downsample(points: np.ndarray, resolution: float) -> np.ndarray:
     sums = np.zeros((uniq.shape[0], 3), dtype=np.float64)
     np.add.at(sums, inv, pts)
     counts = np.bincount(inv, minlength=uniq.shape[0]).astype(np.float64)
-    return (sums / counts[:, None]).astype(np.float32)
+    out = (sums / counts[:, None]).astype(np.float32)
+    if channels is not None:
+        csums = np.zeros((uniq.shape[0], ch.shape[1]), np.float64)
+        np.add.at(csums, inv, ch)
+        return out, (csums / counts[:, None]).astype(np.float32)
+    return out

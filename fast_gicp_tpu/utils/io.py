@@ -79,16 +79,26 @@ def save_pcd(path: str, points: np.ndarray, binary: bool = True) -> None:
             np.savetxt(f, pts, fmt="%.9g")
 
 
-def load_kitti_bin(path: str) -> np.ndarray:
+def load_kitti_bin(path: str, with_channels: bool = False):
     """KITTI velodyne scan: float32 (x, y, z, intensity) records
-    (kitti.cpp:40-64); returns (N, 3) float32 xyz."""
+    (kitti.cpp:40-64); returns (N, 3) float32 xyz, or
+    (xyz (N, 3), channels (N, 1) intensity) with with_channels=True —
+    the payload the reference's PointXYZI instantiation carries
+    (fast_gicp.cpp:1-6)."""
     data = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
-    return np.ascontiguousarray(data[:, :3])
+    xyz = np.ascontiguousarray(data[:, :3])
+    if with_channels:
+        return xyz, np.ascontiguousarray(data[:, 3:4])
+    return xyz
 
 
-def strip_near_origin(points: np.ndarray, min_sq_norm: float = 1e-3) -> np.ndarray:
-    """Drop points with ||p||^2 < min_sq_norm (align.cpp:139-147)."""
+def strip_near_origin(points: np.ndarray, min_sq_norm: float = 1e-3,
+                      channels: np.ndarray = None):
+    """Drop points with ||p||^2 < min_sq_norm (align.cpp:139-147); slices
+    any per-point channel payload consistently."""
     keep = np.einsum("ij,ij->i", points, points) >= min_sq_norm
+    if channels is not None:
+        return points[keep], channels[keep]
     return points[keep]
 
 

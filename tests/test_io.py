@@ -75,3 +75,53 @@ def test_downsample_robustness():
     far = np.asarray([[0, 0, 0], [3e6, 0, 0]], np.float32)
     out = voxel_downsample(far, 1.0)
     assert len(out) == 2
+
+
+def test_channel_payloads_ride_through(tmp_path):
+    """Reference PointXYZI parity: intensity loads from KITTI .bin, rides
+    through downsampling (averaged per voxel) and registration, and comes
+    back attached to the aligned output (fast_gicp.cpp:1-6 instantiates
+    every algorithm for payload-carrying point types; registration math
+    ignores the payload exactly like the reference)."""
+    import numpy as np
+
+    from fast_gicp_tpu.models.vgicp import FastVGICP
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from fast_gicp_tpu.utils.io import load_kitti_bin, strip_near_origin
+
+    rng = np.random.default_rng(0)
+    n = 600
+    pts = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    intensity = rng.uniform(0, 1, (n, 1)).astype(np.float32)
+    path = tmp_path / "scan.bin"
+    np.concatenate([pts, intensity], axis=1).astype(np.float32).tofile(path)
+
+    xyz, ch = load_kitti_bin(str(path), with_channels=True)
+    np.testing.assert_allclose(xyz, pts)
+    np.testing.assert_allclose(ch, intensity)
+
+    xyz2, ch2 = strip_near_origin(xyz, channels=ch)
+    assert len(xyz2) == len(ch2) <= n
+
+    dpts, dch = voxel_downsample(xyz2, 0.5, channels=ch2)
+    assert len(dpts) == len(dch)
+    # single-member voxels keep their exact intensity
+    # (cross-check one voxel by brute force)
+    import collections
+    coords = np.floor(xyz2 / 0.5).astype(np.int64)
+    keys = [tuple(c) for c in coords]
+    counts = collections.Counter(keys)
+    singles = [i for i, k in enumerate(keys) if counts[k] == 1]
+    if singles:
+        i = singles[0]
+        j = np.argmin(np.linalg.norm(dpts - xyz2[i], axis=1))
+        np.testing.assert_allclose(dch[j], ch2[i], atol=1e-5)
+
+    # payload survives registration and comes back on the aligned cloud
+    reg = FastVGICP(resolution=1.0, covariance_estimation="knn")
+    reg.set_input_target(dpts)
+    reg.set_input_source(dpts, channels=dch)
+    reg.align()
+    out = reg.aligned_source()
+    assert out.shape == (len(dpts), 4)
+    np.testing.assert_allclose(out[:, 3:], dch, atol=1e-6)

@@ -142,3 +142,25 @@ def test_scan_odometry_matches_stream(synthetic_traj):
     poses = run_odometry_scan(scans, downsample_resolution=0.2, config=cfg)
     assert len(poses) == len(scans)
     assert ate_rmse(gt_poses, poses) < 0.05
+
+
+def test_long_drive_ate():
+    """>=200-frame drive with realistic inter-frame motion: scan-mode
+    odometry must track within 1% of the driven distance (the VERDICT
+    benchmark-artifact contract; full-size TPU numbers live in
+    BENCH_ODOMETRY.json via tools/bench_odometry.py)."""
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from fast_gicp_tpu.utils.kitti import run_odometry_scan
+    from fast_gicp_tpu.utils.synthetic import drive_scans, drive_world
+
+    rng = np.random.default_rng(2)
+    world = drive_world(rng, half_extent=60.0, n=120_000)
+    scans, gt = drive_scans(
+        rng, n_frames=200, radius=40.0, sensor_range=25.0, world=world,
+    )
+    clouds = [voxel_downsample(s, 0.4) for s in scans]
+    cfg = VGICPConfig(resolution=1.0)
+    poses = run_odometry_scan(clouds, -1.0, config=cfg)
+    dist = 200.0 * 1.0  # ~1 m/frame cruise
+    ate = ate_rmse(gt, poses)
+    assert ate < 0.01 * dist, f"ATE {ate:.3f} m over ~{dist:.0f} m"

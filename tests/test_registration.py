@@ -280,3 +280,21 @@ def test_fitness_parity_on_pcl_compatible_downsample(bundled_pair):
             (np.linalg.inv(gt) @ np.asarray(r.transformation, np.float64))[:3, 3]
         )
         assert t_err < 0.05, (ds.__name__, t_err)
+
+
+def test_align_async_pipelines(bundled_pair):
+    """align_async returns a device-side result usable as the next guess;
+    host getters synchronize lazily and match the synchronous align."""
+    source, target, gt = bundled_pair
+    from fast_gicp_tpu.models.vgicp import FastVGICP
+
+    reg = FastVGICP(resolution=1.0, covariance_estimation="knn")
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    r = reg.align_async()
+    # device-side chaining: reuse the still-on-device pose as a new guess
+    r2 = reg.align_async(initial_guess=np.asarray(r.transformation))
+    T = reg.get_final_transformation()  # lazy sync
+    assert reg.has_converged()
+    err = np.linalg.norm((np.linalg.inv(gt) @ T)[:3, 3])
+    assert err < 0.05
