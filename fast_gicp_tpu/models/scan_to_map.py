@@ -441,15 +441,80 @@ def _relative(prev, pose):
     return se3.orthonormalize(se3.invert_transform(prev) @ pose)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("config", "covariance", "gate_t", "gate_r"),
+    donate_argnums=(0,),
+)
+@f32_matmuls
+def _fused_frame_step(
+    state: MapState, prev_pose, last_delta, pts, mask,
+    config: ScanToMapConfig, covariance: str, gate_t, gate_r,
+):
+    """One odometry frame as ONE device program: covariance estimation ->
+    constant-velocity align -> tracking gate -> world transform -> map
+    fusion.  The multi-dispatch driver paid ~5 jit dispatches per frame
+    (~1-3 ms each of host/tunnel overhead — the wall-clock bottleneck at
+    ~30 ms/frame on this host); this is a single dispatch, and the map
+    state is donated so fusion updates in place."""
+    from ..ops import soa
+    from ..ops.covariance import knn_covariances, rbf_covariance_cols
+
+    if covariance == "rbf":
+        covs6 = rbf_covariance_cols(pts, mask)  # (6, N) SoA columns
+    else:
+        covs6 = soa.sym_cols_from_covs(knn_covariances(pts, mask))
+
+    guess = se3.orthonormalize(prev_pose @ last_delta)
+    result = align_to_map(state, pts, mask, covs6, guess, config)
+    pose, rejected = _gate_pose(
+        result.transformation, guess, result.converged, result.error,
+        result.hessian, gate_t, gate_r,
+    )
+    new_delta = jnp.where(
+        rejected,
+        last_delta,
+        se3.orthonormalize(se3.invert_transform(prev_pose) @ pose),
+    )
+    world_pts = se3.transform_points(pose, pts)
+    world_cov9 = soa.sym_cols_to_rows9(
+        soa.rotate_sym_cols(pose[:3, :3], covs6)
+    )
+    fuse_mask = mask & ~rejected
+    state = update_map(
+        state, world_pts, world_cov9, fuse_mask,
+        new_cap=config.new_per_frame_capacity,
+    )
+    return state, pose, new_delta
+
+
+@partial(jax.jit, static_argnames=("config", "covariance"), donate_argnums=(0,))
+@f32_matmuls
+def _fused_first_frame(state: MapState, pts, mask,
+                       config: ScanToMapConfig, covariance: str):
+    from ..ops import soa
+    from ..ops.covariance import knn_covariances, rbf_covariance_cols
+
+    if covariance == "rbf":
+        covs6 = rbf_covariance_cols(pts, mask)
+    else:
+        covs6 = soa.sym_cols_from_covs(knn_covariances(pts, mask))
+    cov9 = soa.sym_cols_to_rows9(covs6)
+    state = update_map(
+        state, pts, cov9, mask, new_cap=config.new_per_frame_capacity
+    )
+    return state
+
+
 class ScanToMapOdometry:
     """Host-side odometry driver over the persistent map.
 
     Per frame: constant-velocity guess -> align_to_map -> fuse the scan into
     the map at the estimated pose.  The first frame initializes the map.
 
-    Fully device-chained: the pose, the constant-velocity guess, and the map
-    update all consume the previous frame's still-on-device results, so the
-    host never blocks inside the loop — read `poses` (or the `process`
+    Fully device-chained AND single-dispatch: the entire frame (covariance
+    estimation, align, gate, fusion) runs as one donated-state jit, so the
+    host's per-frame cost is one enqueue — read `poses` (or the `process`
     return value, an np.ndarray) to synchronize.
     """
 
@@ -503,7 +568,10 @@ class ScanToMapOdometry:
         ]
 
     # Hooks overridden by the sharded driver (parallel/sharded_map.py) —
-    # ALL per-frame logic lives in process_async below, shared by both.
+    # the sharded driver sets _fused_frames = False and takes the
+    # multi-dispatch path below.
+    _fused_frames = True
+
     def _align(self, pts, mask, covs, guess):
         return align_to_map(self.state, pts, mask, covs, guess, self.config)
 
@@ -521,6 +589,8 @@ class ScanToMapOdometry:
         from ..utils.padding import bucket_size, pad_points
 
         scan = np.asarray(scan)
+        if self._fused_frames:
+            return self._process_fused(scan)
         # Sticky padding bucket with 10% headroom: scan sizes wander frame
         # to frame, and every new padded size costs a full recompile of the
         # covariance/align/update graphs (~5-10 s each on a TPU runtime);
@@ -560,6 +630,33 @@ class ScanToMapOdometry:
 
         world_pts, world_covs = _to_world(pose, pts, covs)
         self._fuse(world_pts, world_covs, fuse_mask)
+        self._poses_dev.append(pose)
+        self._maybe_grow()
+        return pose
+
+    def _process_fused(self, scan):
+        """Single-dispatch per-frame path (see `_fused_frame_step`)."""
+        from ..utils.padding import bucket_size, pad_points
+
+        if self._bucket is None or len(scan) > self._bucket:
+            self._bucket = bucket_size(int(len(scan) * 1.1))
+        padded, mask_np = pad_points(scan, self._bucket)
+        pts = jnp.asarray(padded)
+        mask = jnp.asarray(mask_np)
+
+        if not self._poses_dev:
+            pose = jnp.eye(4, dtype=jnp.float32)
+            self.state = _fused_first_frame(
+                self.state, pts, mask, self.config, self.covariance
+            )
+        else:
+            have_velocity = len(self._poses_dev) >= 2
+            self.state, pose, self._last_delta = _fused_frame_step(
+                self.state, self._poses_dev[-1], self._last_delta, pts, mask,
+                self.config, self.covariance,
+                self.config.gate_translation if have_velocity else None,
+                self.config.gate_rotation if have_velocity else None,
+            )
         self._poses_dev.append(pose)
         self._maybe_grow()
         return pose

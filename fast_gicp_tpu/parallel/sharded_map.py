@@ -449,6 +449,8 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
     All per-frame logic (gate, delta bookkeeping, fusion masking) is
     inherited from ScanToMapOdometry — only the align/fuse hooks differ."""
 
+    _fused_frames = False  # multi-dispatch path (hooks below)
+
     def __init__(
         self,
         config: ScanToMapConfig = ScanToMapConfig(),
