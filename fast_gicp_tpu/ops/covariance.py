@@ -180,6 +180,74 @@ def rbf_covariance_cols(
 
 
 @f32_matmuls
+def rbf_covariance_cols_vs(
+    query,
+    qmask,
+    target,
+    tmask,
+    center,
+    kernel_width: float = 0.5,
+    max_dist: float = 3.0,
+    chunk_size: int = 1024,
+):
+    """Cross-cloud RBF covariances as sym-6 columns (6, Nq): each QUERY
+    point's kernel-density covariance over the TARGET cloud — the building
+    block of the query-sharded multi-device covariance path (each device
+    evaluates its N/D queries against the full gathered cloud: O(N^2/D)
+    per device).  `center` must be the full cloud's mean (consistent
+    across shards); covariances are center-invariant."""
+    from . import soa
+
+    nq = query.shape[0]
+    nt = target.shape[0]
+    if pallas_kernels.supported(nt) and nq % 1024 == 0:
+        m = pallas_kernels.rbf_cross_moments_centered_T(
+            query, qmask, target, tmask, kernel_width, max_dist, center
+        )
+    else:
+        # chunked XLA fallback (CPU mesh simulation)
+        yq = query - center
+        yt = (target - center) * tmask.astype(query.dtype)[:, None]
+        t0, t1, t2 = yt[:, 0], yt[:, 1], yt[:, 2]
+        feats = jnp.stack(
+            [tmask.astype(query.dtype), t0, t1, t2,
+             t0 * t0, t0 * t1, t0 * t2,
+             t1 * t0, t1 * t1, t1 * t2,
+             t2 * t0, t2 * t1, t2 * t2], axis=1,
+        )  # (Nt, 13)
+        md_sq = max_dist * max_dist
+        chunk_size = _pick_chunk(nq, chunk_size)
+
+        def body(q):
+            d = jnp.sum(
+                (q[:, None, :] - (target - center)[None, :, :]) ** 2, -1
+            )
+            w = jnp.where(
+                (d <= md_sq) & tmask[None, :],
+                jnp.exp(-kernel_width * d), 0.0,
+            )
+            return jnp.dot(w, feats, precision=_PRECISION)
+
+        m = jax.lax.map(
+            body, yq.reshape(-1, chunk_size, 3)
+        ).reshape(nq, 13).T
+    inv_w = 1.0 / jnp.maximum(m[0], 1e-12)
+    mean = [m[1] * inv_w, m[2] * inv_w, m[3] * inv_w]
+    cov6 = jnp.stack(
+        [
+            m[4] * inv_w - mean[0] * mean[0],
+            0.5 * (m[5] + m[7]) * inv_w - mean[0] * mean[1],
+            0.5 * (m[6] + m[10]) * inv_w - mean[0] * mean[2],
+            m[8] * inv_w - mean[1] * mean[1],
+            0.5 * (m[9] + m[11]) * inv_w - mean[1] * mean[2],
+            m[12] * inv_w - mean[2] * mean[2],
+        ],
+        axis=0,
+    )
+    return soa.plane_covs_cols(cov6)
+
+
+@f32_matmuls
 def rbf_covariances(
     points,
     mask,

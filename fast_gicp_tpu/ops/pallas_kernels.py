@@ -190,61 +190,41 @@ def _rbf_kernel(rel_ref, kw_ref, md_ref, q_ref, t_ref, f_ref, out_ref):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def rbf_moments_centered_T(points, mask, kernel_width, max_dist,
-                           interpret: bool = False):
-    """Fused RBF moment accumulation about the cloud center: returns
-    (rows (16, N), center (3,)) with rows
-    [sum_w, sum_w*y (3), sum_w*yy^T (9 row-major), pad (3)], y = x - c.
-
-    Covariances are center-invariant, so the SoA covariance path consumes
-    these directly with no de-centering pass.
-
-    Equivalent math to covariance_estimation_rbf.cu:59-90 with exact
-    masking (the reference lets zero-padded points contribute; we don't).
-
-    Precision: the moment matmul runs on the MXU in bfloat16, but the
-    UNCENTERED second moment E[xx] - mu mu^T cancellation would turn
-    bf16's ~0.2% relative feature rounding into ~0.004|x|^2 absolute
-    covariance error (25 m^2 at |x|=80 m — larger than a real neighborhood
-    covariance).  Two measures keep the MXU speed without the error:
-      * coordinates are CENTERED on the cloud's mean before forming the
-        moment features (the weights are translation-invariant; the raw
-        moments are reconstructed about the origin in f32 afterwards);
-      * the 16 feature columns ride as a bf16 hi/lo SPLIT [hi | lo]
-        (f = hi + lo with hi = bf16(f)), giving ~2^-17 effective relative
-        operand precision.  The split doubles the operand width to 32
-        columns, still inside one 128-lane MXU tile — the matmul pass
-        count is unchanged, so this is essentially free.
-    The weight operand stays single bf16: perturbing smooth density
-    weights by 0.4% is a slightly different (equally valid) kernel, not a
-    cancellation error.
-    """
-    n = points.shape[0]
-    if n % _RQT or n % _RTT:
-        raise ValueError(f"n={n} not a multiple of ({_RQT},{_RTT})")
+def rbf_cross_moments_centered_T(query, qmask, target, tmask, kernel_width,
+                                 max_dist, center, interpret: bool = False):
+    """Cross-cloud RBF moments: (16, Nq) rows of target-density moments
+    about `center` for each QUERY point — the kernel behind both the
+    self-moments path (query == target) and the query-sharded multi-device
+    covariance path (each device computes its N/D queries against the
+    all-gathered full cloud; `center` must be the full cloud's, passed in
+    so every shard agrees)."""
+    nq = query.shape[0]
+    nt = target.shape[0]
+    if nq % _RQT or nt % _RTT:
+        raise ValueError(f"sizes ({nq},{nt}) not multiples of ({_RQT},{_RTT})")
     f32 = jnp.float32
-    mvalid = mask.astype(f32)
-    center = jnp.sum(points * mvalid[:, None], axis=0) / jnp.maximum(
-        jnp.sum(mvalid), 1.0
-    )
-    y = points - center
-    pT = _prep_transposed(y, mask)
+    qvalid = qmask.astype(f32)
+    tvalid = tmask.astype(f32)
+    yq = query - center
+    yt = target - center
+    pTq = _prep_transposed(yq, qmask)
+    pTt = _prep_transposed(yt, tmask)
 
-    # Moment feature ROWS (16, N): [1, y, vec(yy^T), 0, 0, 0] about the
+    # Moment feature ROWS (16, Nt): [1, y, vec(yy^T), 0, 0, 0] about the
     # center, built entirely in 2-D column layout — an (N, 3, 3) outer
     # product would pad to (N, 8, 128) tiles (~92 MB materialized at 22k
     # points).  Masked rows zeroed so they contribute nothing even inside
     # max_dist.
-    y0, y1, y2 = (y[:, i] * mvalid for i in range(3))
-    zero = jnp.zeros((n,), f32)
+    y0, y1, y2 = (yt[:, i] * tvalid for i in range(3))
+    zero = jnp.zeros((nt,), f32)
     feats_rows = jnp.stack(
-        [mvalid, y0, y1, y2,
+        [tvalid, y0, y1, y2,
          y0 * y0, y0 * y1, y0 * y2,
          y1 * y0, y1 * y1, y1 * y2,
          y2 * y0, y2 * y1, y2 * y2,
          zero, zero, zero],
         axis=0,
-    )  # (16, N)
+    )  # (16, Nt)
     # hi/lo bf16 split via MANTISSA BIT ROUNDING: XLA-TPU's excess-
     # precision simplification treats convert(convert(f, bf16), f32) as f
     # itself, so the naive `lo = f - f.astype(bf16).astype(f32)` folds to
@@ -260,21 +240,22 @@ def rbf_moments_centered_T(points, mask, kernel_width, max_dist,
     )
     hi = hi_f32.astype(jnp.bfloat16)  # exact: mantissa already rounded
     lo = (feats_rows - hi_f32).astype(jnp.bfloat16)
-    feats2 = jnp.concatenate([hi, lo], axis=0)  # (32, N) bf16
+    feats2 = jnp.concatenate([hi, lo], axis=0)  # (32, Nt) bf16
 
     # Tile-pair culling mask from per-tile bounding boxes (masked points
     # excluded — they contribute zero weight regardless).
-    nq_t, nt_t = n // _RQT, n // _RTT
+    nq_t, nt_t = nq // _RQT, nt // _RTT
     big = 1.0e18
     gap_sq = jnp.zeros((nq_t, nt_t), f32)
     for a in range(3):
-        ya = y[:, a]
-        lo = jnp.where(mvalid > 0, ya, big)
-        hi_a = jnp.where(mvalid > 0, ya, -big)
-        qmin = lo.reshape(nq_t, _RQT).min(1)
-        qmax = hi_a.reshape(nq_t, _RQT).max(1)
-        tmin = lo.reshape(nt_t, _RTT).min(1)
-        tmax = hi_a.reshape(nt_t, _RTT).max(1)
+        qlo = jnp.where(qvalid > 0, yq[:, a], big)
+        qhi = jnp.where(qvalid > 0, yq[:, a], -big)
+        tlo = jnp.where(tvalid > 0, yt[:, a], big)
+        thi = jnp.where(tvalid > 0, yt[:, a], -big)
+        qmin = qlo.reshape(nq_t, _RQT).min(1)
+        qmax = qhi.reshape(nq_t, _RQT).max(1)
+        tmin = tlo.reshape(nt_t, _RTT).min(1)
+        tmax = thi.reshape(nt_t, _RTT).max(1)
         gap = jnp.maximum(
             0.0,
             jnp.maximum(
@@ -306,10 +287,27 @@ def rbf_moments_centered_T(points, mask, kernel_width, max_dist,
             pl.BlockSpec((32, _RTT), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((32, _RQT), lambda i, j: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((32, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((32, nq), jnp.float32),
         interpret=interpret,
-    )(rel, kw, md, pT, pT, feats2)
-    return out[:16] + out[16:], center  # recombine hi + lo halves (f32)
+    )(rel, kw, md, pTq, pTt, feats2)
+    return out[:16] + out[16:]  # recombine hi + lo halves (f32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def rbf_moments_centered_T(points, mask, kernel_width, max_dist,
+                           interpret: bool = False):
+    """Fused RBF moment accumulation about the cloud center: returns
+    (rows (16, N), center (3,)) — the self-moments view of
+    `rbf_cross_moments_centered_T` (query == target == points)."""
+    mvalid = mask.astype(jnp.float32)
+    center = jnp.sum(points * mvalid[:, None], axis=0) / jnp.maximum(
+        jnp.sum(mvalid), 1.0
+    )
+    m = rbf_cross_moments_centered_T(
+        points, mask, points, mask, kernel_width, max_dist, center,
+        interpret=interpret,
+    )
+    return m, center
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -204,6 +204,39 @@ def align_to_sharded_map(
     )
 
 
+@partial(jax.jit, static_argnames=("mesh",))
+@f32_matmuls
+def sharded_rbf_covariances(mesh, points, mask, kernel_width=0.5,
+                            max_dist=3.0):
+    """Query-sharded RBF covariance estimation: each device computes the
+    kernel-density covariances of its N/D points against the all-gathered
+    full cloud — O(N^2/D) per device instead of the O(N^2) a replicated
+    estimate costs (the all_gather ships ~N x 16 B once per frame).
+    Returns (N, 3, 3) AoS, sharded over the data axis."""
+    axis = mesh.axis_names[0]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+             out_specs=P(axis))
+    def run(p_loc, m_loc):
+        from ..ops import soa
+        from ..ops.covariance import rbf_covariance_cols_vs
+
+        full_p = jax.lax.all_gather(p_loc, axis, tiled=True)  # (N, 3)
+        full_m = jax.lax.all_gather(m_loc, axis, tiled=True)
+        mval = full_m.astype(p_loc.dtype)
+        center = jnp.sum(full_p * mval[:, None], axis=0) / jnp.maximum(
+            jnp.sum(mval), 1.0
+        )
+        cols6 = rbf_covariance_cols_vs(
+            p_loc, m_loc, full_p, full_m, center,
+            kernel_width=kernel_width, max_dist=max_dist,
+        )
+        nl = p_loc.shape[0]
+        return soa.sym_cols_to_rows9(cols6).reshape(nl, 3, 3)
+
+    return run(points, mask)
+
+
 def _owner_of(h, d):
     """Voxel hash -> owning device (re-mixed high bits; see update)."""
     h = (h ^ (h >> 16)) * jnp.uint32(0x9E3779B9)
@@ -450,6 +483,11 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
     inherited from ScanToMapOdometry — only the align/fuse hooks differ."""
 
     _fused_frames = False  # multi-dispatch path (hooks below)
+
+    def _covs(self, points, mask):
+        if self.covariance == "rbf":
+            return sharded_rbf_covariances(self.mesh, points, mask)
+        return super()._covs(points, mask)
 
     def __init__(
         self,

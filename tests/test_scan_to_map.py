@@ -307,3 +307,29 @@ def test_sharded_align_partitions_work():
     # hash placement balances within ~2x of the ideal N/D share
     assert load.max() <= 2 * n // 8, load
     assert load.min() >= n // 8 // 2, load
+
+
+def test_sharded_rbf_covariances_match_single():
+    """Query-sharded covariance estimation reproduces the single-device
+    RBF covariances (each device computes N/D queries vs the gathered
+    cloud)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_gicp_tpu.ops.covariance import rbf_covariances_jit
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import sharded_rbf_covariances
+
+    rng = np.random.default_rng(4)
+    n = 2048
+    pts = jnp.asarray(rng.uniform(-10, 10, (n, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=n) > 0.05)
+    mesh = make_mesh(8)
+    c_sharded = np.asarray(sharded_rbf_covariances(mesh, pts, mask))
+    c_single = np.asarray(rbf_covariances_jit(pts, mask))
+    valid = np.asarray(mask)
+    # distance formulations differ ((q-t)^2 vs dot-form HIGHEST) — agree
+    # to f32 noise only
+    np.testing.assert_allclose(
+        c_sharded[valid], c_single[valid], rtol=5e-2, atol=2e-3
+    )
