@@ -44,6 +44,7 @@ from ..ops.voxelmap import (
 )
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
+from ..utils.padding import bucket_size
 
 
 class MapState(NamedTuple):
@@ -350,6 +351,10 @@ class ScanToMapConfig(NamedTuple):
     # snowball. Evaluated on device (no sync). None disables a gate.
     gate_translation: float = 1.0  # meters vs predicted pose
     gate_rotation: float = 0.5  # radians vs predicted pose
+    # After this many consecutive rejections, accept a live align anyway
+    # (the prediction is then the likelier culprit; without this a track
+    # that drifts outside the gates can never re-anchor to the map).
+    gate_relock_after: int = 5
     lsq: LsqConfig = LsqConfig()
 
 
@@ -401,9 +406,10 @@ def _compose(a, b):
     return se3.orthonormalize(a @ b)
 
 
-@partial(jax.jit, static_argnames=("gate_t", "gate_r"))
+@partial(jax.jit, static_argnames=("gate_t", "gate_r", "relock_after"))
 @f32_matmuls
-def _gate_pose(aligned, guess, converged, error, hessian, gate_t, gate_r):
+def _gate_pose(aligned, guess, converged, error, hessian, gate_t, gate_r,
+               streak=None, relock_after=None):
     """Tracking gate: accept the aligned pose only if it converged with a
     live objective and sits within (gate_t, gate_r) of the constant-velocity
     prediction; otherwise fall back to the prediction and signal the caller
@@ -425,12 +431,23 @@ def _gate_pose(aligned, guess, converged, error, hessian, gate_t, gate_r):
     # compares False and therefore REJECTS — `bad | (dev > gate)` would
     # accept NaN poses.
     alive = jnp.trace(hessian) > 0.0
-    good = converged & alive & jnp.isfinite(error)
+    live = converged & alive & jnp.isfinite(error)
+    good = live
     if gate_t is not None:
         good = good & (t_dev <= gate_t)
     if gate_r is not None:
         good = good & (r_dev <= gate_r)
-    return jnp.where(good, aligned, guess), ~good
+    if streak is None:
+        return jnp.where(good, aligned, guess), ~good
+    # RE-LOCK: after `relock_after` consecutive rejections the constant-
+    # velocity prediction is the thing most likely to be wrong — accept a
+    # LIVE align unconditionally so a lost track can re-anchor to the map
+    # instead of extrapolating forever (the deviation gates alone have no
+    # recovery path once the prediction departs).
+    relock = live & (streak >= relock_after)
+    accept = good | relock
+    new_streak = jnp.where(accept, jnp.int32(0), streak + 1)
+    return jnp.where(accept, aligned, guess), ~accept, new_streak
 
 
 @jax.jit
@@ -448,7 +465,7 @@ def _relative(prev, pose):
 )
 @f32_matmuls
 def _fused_frame_step(
-    state: MapState, prev_pose, last_delta, pts, mask,
+    state: MapState, prev_pose, last_delta, reject_streak, pts, mask,
     config: ScanToMapConfig, covariance: str, gate_t, gate_r,
 ):
     """One odometry frame as ONE device program: covariance estimation ->
@@ -467,9 +484,10 @@ def _fused_frame_step(
 
     guess = se3.orthonormalize(prev_pose @ last_delta)
     result = align_to_map(state, pts, mask, covs6, guess, config)
-    pose, rejected = _gate_pose(
+    pose, rejected, streak = _gate_pose(
         result.transformation, guess, result.converged, result.error,
         result.hessian, gate_t, gate_r,
+        streak=reject_streak, relock_after=config.gate_relock_after,
     )
     new_delta = jnp.where(
         rejected,
@@ -485,7 +503,7 @@ def _fused_frame_step(
         state, world_pts, world_cov9, fuse_mask,
         new_cap=config.new_per_frame_capacity,
     )
-    return state, pose, new_delta
+    return state, pose, new_delta, streak
 
 
 @partial(jax.jit, static_argnames=("config", "covariance"), donate_argnums=(0,))
@@ -519,7 +537,8 @@ class ScanToMapOdometry:
     """
 
     def __init__(self, config: ScanToMapConfig = ScanToMapConfig(),
-                 covariance: str = "rbf", initial_map: MapState = None):
+                 covariance: str = "rbf", initial_map: MapState = None,
+                 bucket: int = None):
         self.config = config
         self.covariance = covariance
         # initial_map: resume from a `save_map` checkpoint (map-then-localize
@@ -531,8 +550,13 @@ class ScanToMapOdometry:
         )
         self._poses_dev = []  # device-side (4, 4) f32 pose chain
         self._last_delta = jnp.eye(4, dtype=jnp.float32)
+        self._reject_streak = jnp.int32(0)
         self._frames_since_check = 0
-        self._bucket = None  # sticky padding bucket (avoids recompile storms)
+        # Sticky padding bucket (avoids recompile storms); pass `bucket`
+        # (max expected scan size) to pin it up front — a mid-sequence
+        # bucket growth recompiles the fused frame graph (~minutes on the
+        # remote-TPU tunnel).
+        self._bucket = None if bucket is None else bucket_size(bucket)
 
     def _maybe_grow(self) -> None:
         """Grow the map 2x when >70% full (checked every grow_check_every
@@ -614,11 +638,13 @@ class ScanToMapOdometry:
             # but the liveness checks (converged, finite, error > 0) apply
             # from the first align.
             have_velocity = len(self._poses_dev) >= 2
-            pose, rejected = _gate_pose(
+            pose, rejected, self._reject_streak = _gate_pose(
                 result.transformation, guess, result.converged, result.error,
                 result.hessian,
                 self.config.gate_translation if have_velocity else None,
                 self.config.gate_rotation if have_velocity else None,
+                streak=self._reject_streak,
+                relock_after=self.config.gate_relock_after,
             )
             fuse_mask = mask & ~rejected  # rejected scans don't fuse
             # On reject, keep the old delta VERBATIM: recomputing it as
@@ -651,11 +677,14 @@ class ScanToMapOdometry:
             )
         else:
             have_velocity = len(self._poses_dev) >= 2
-            self.state, pose, self._last_delta = _fused_frame_step(
-                self.state, self._poses_dev[-1], self._last_delta, pts, mask,
-                self.config, self.covariance,
-                self.config.gate_translation if have_velocity else None,
-                self.config.gate_rotation if have_velocity else None,
+            self.state, pose, self._last_delta, self._reject_streak = (
+                _fused_frame_step(
+                    self.state, self._poses_dev[-1], self._last_delta,
+                    self._reject_streak, pts, mask,
+                    self.config, self.covariance,
+                    self.config.gate_translation if have_velocity else None,
+                    self.config.gate_rotation if have_velocity else None,
+                )
             )
         self._poses_dev.append(pose)
         self._maybe_grow()

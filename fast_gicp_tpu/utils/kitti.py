@@ -70,6 +70,14 @@ def run_odometry_batched(
 
     Trades the serial loop's warm-start locality for B-fold arithmetic
     intensity; returns the same pose list shape as `run_odometry`.
+
+    Straggler note: a vmapped LM while_loop runs until the SLOWEST pair of
+    the batch converges (finished pairs idle inside the loop), so one
+    pathological pair taxes the whole batch by (its iterations - median).
+    Without warm starts the useful iteration budget from an identity guess
+    is ~10-15; the default config therefore caps the batch solve at 24
+    outer iterations (a pair that hasn't converged by then essentially
+    never does) — pass an explicit `config` to override.
     """
     import jax
     import jax.numpy as jnp
@@ -77,9 +85,10 @@ def run_odometry_batched(
     from ..models.batch import vgicp_align_batch
     from ..models.vgicp import VGICPConfig
     from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
+    from ..solver import LsqConfig
     from .padding import bucket_size, pad_points
 
-    config = config or VGICPConfig()
+    config = config or VGICPConfig(lsq=LsqConfig(max_iterations=24))
     clouds = [voxel_downsample(s, downsample_resolution) for s in scans]
     if len(clouds) < 2:
         return [np.eye(4)] * len(clouds)

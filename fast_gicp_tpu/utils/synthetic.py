@@ -18,10 +18,13 @@ from __future__ import annotations
 import numpy as np
 
 
-def drive_world(rng, half_extent: float = 110.0, n: int = 800_000):
+def drive_world(rng, half_extent: float = 140.0, n: int = 1_400_000):
     """Structured world covering a [-e, e]^2 area: ground + ring road
     walls + pillar clusters (the geometry VGICP needs to constrain all six
-    degrees of freedom)."""
+    degrees of freedom).  The default extent EXCEEDS the default drive's
+    sensing reach (radius 80 + range 55 = 135): a sensor seeing past the
+    world edge gets a void sector whose degenerate geometry is a
+    generator artifact, not a property of real scenes."""
     e = half_extent
     ground = np.stack(
         [
@@ -46,16 +49,28 @@ def drive_world(rng, half_extent: float = 110.0, n: int = 800_000):
                           + 0.05 * rng.standard_normal(m),
                           wy + u, rng.uniform(0, 6, m)], axis=1)
         walls.append(w)
-    n_pil = 60
+    n_pil = 100
     pillars = np.stack(
         [
-            np.repeat(rng.uniform(-e, e, n_pil), n // (6 * n_pil)),
-            np.repeat(rng.uniform(-e, e, n_pil), n // (6 * n_pil)),
-            rng.uniform(0, 4, (n // (6 * n_pil)) * n_pil),
+            np.repeat(rng.uniform(-e, e, n_pil), n // (12 * n_pil)),
+            np.repeat(rng.uniform(-e, e, n_pil), n // (12 * n_pil)),
+            rng.uniform(0, 4, (n // (12 * n_pil)) * n_pil),
         ],
         axis=1,
     )
-    return np.concatenate([ground, *walls, pillars]).astype(np.float32)
+    # ring-road building fronts: arc wall segments flanking the default
+    # drive circle (radius 80), so the sensor always has vertical structure
+    # nearby — like buildings lining a street
+    arcs = []
+    for (r_arc, th0, th1) in [(62, 0.2, 1.3), (98, 1.0, 2.2), (60, 2.4, 3.6),
+                              (100, 3.2, 4.4), (63, 4.6, 5.8), (97, 5.4, 6.2)]:
+        m = n // 48
+        th = rng.uniform(th0, th1, m)
+        rr = r_arc + 0.05 * rng.standard_normal(m)
+        arcs.append(np.stack(
+            [rr * np.cos(th), rr * np.sin(th), rng.uniform(0, 5, m)], axis=1
+        ))
+    return np.concatenate([ground, *walls, pillars, *arcs]).astype(np.float32)
 
 
 def drive_scans(
@@ -65,7 +80,7 @@ def drive_scans(
     speed: float = 1.0,
     accel_frames: int = 8,
     sensor_range: float = 55.0,
-    view_fraction: float = 0.5,
+    view_fraction: float = 0.35,
     noise: float = 0.01,
     world: np.ndarray | None = None,
 ):

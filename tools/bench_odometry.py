@@ -154,12 +154,13 @@ def main(n_frames=512, downsample=0.25, out="BENCH_ODOMETRY.json"):
     def run_map():
         odo = ScanToMapOdometry(
             ScanToMapConfig(resolution=1.0, capacity=1 << 17,
-                            gate_translation=0.5, gate_rotation=0.2))
+                            gate_translation=0.5, gate_rotation=0.2),
+            bucket=max(len(c) for c in clouds))
         for c in clouds:
             odo.process_async(c)
         return odo.poses
 
-    bench("scan_to_map", run_map, n_frames, repeat_timing=False)
+    bench("scan_to_map", run_map, n_frames)
 
     with open(out, "w") as f:
         for r in results:
