@@ -62,7 +62,16 @@ def approximate_voxel_downsample(
     sums = np.zeros((n_runs, 3), np.float64)
     np.add.at(sums, run_id, pts[order])
     counts = np.bincount(run_id, minlength=n_runs).astype(np.float64)
-    return (sums / counts[:, None]).astype(np.float32)
+    out = (sums / counts[:, None]).astype(np.float32)
+    # Normalize the OUTPUT ORDER to voxel-key sorted: PCL emits centroids
+    # in hash-flush order (spatially scrambled), but order carries no
+    # semantics downstream, and the TPU RBF kernel's tile-pair culling
+    # depends on spatial locality within tiles (sorted clouds skip 70-85%
+    # of distance tiles).
+    oc = np.floor(out.astype(np.float64) / resolution).astype(np.int64)
+    oc -= oc.min(axis=0)
+    key = (oc[:, 0] << 42) | (oc[:, 1] << 21) | oc[:, 2]
+    return out[np.argsort(key, kind="stable")]
 
 
 def voxel_downsample(points: np.ndarray, resolution: float,

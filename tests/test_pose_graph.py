@@ -173,7 +173,10 @@ def test_sparse_scales_to_1k_keyframes(rng):
     dt = time.time() - t0
     drift1 = np.linalg.norm(opt[-1][:3, 3] - np.asarray(gt[-1])[:3, 3])
     assert drift1 < 0.3 * drift0, (drift0, drift1)
-    assert dt < 10.0, dt  # warm solve well under a second on TPU; lenient on CPU
+    # Warm solve is well under a second on TPU; the bound only pins "scales
+    # at all" (the dense solver would OOM at 36M Hessian entries), so stay
+    # lenient: the shared-core CI host can stall >10 s under full-suite load.
+    assert dt < 30.0, dt
 
 
 def test_sliding_window_ba(rng):
