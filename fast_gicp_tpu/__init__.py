@@ -53,6 +53,7 @@ from .models.pose_graph_sparse import (
     SlidingWindowBA,
     SparsePGConfig,
     optimize_pose_graph_sparse,
+    optimize_pose_graph_sparse_sharded,
 )
 from .models.metrics import fitness_score, pose_error
 
@@ -87,6 +88,7 @@ __all__ = [
     "SlidingWindowBA",
     "SparsePGConfig",
     "optimize_pose_graph_sparse",
+    "optimize_pose_graph_sparse_sharded",
     "fitness_score",
     "pose_error",
 ]

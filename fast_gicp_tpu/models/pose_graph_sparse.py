@@ -122,51 +122,39 @@ def _tridiag_solve(D, U, b):
     return x_rev
 
 
-@partial(jax.jit, static_argnames=("config",))
-@f32_matmuls
-def optimize_pose_graph_sparse(
+def _optimize_sparse(
     poses,
     edge_i,
     edge_j,
-    edge_rel,
-    edge_info=None,
-    prior_info=None,
-    prior_pose=None,
-    config: SparsePGConfig = SparsePGConfig(),
+    z_inv,
+    edge_info,
+    prior_info,
+    prior_pose,
+    gauge_w: float,
+    config: SparsePGConfig,
+    axis_name=None,
 ) -> PoseGraphResult:
-    """Gauss-Newton + block-PCG pose-graph solve (scales to 1000s of
-    keyframes; matches `optimize_pose_graph` on small graphs).
+    """Core sparse GN + block-PCG solve.
 
-    Args:
-      poses: (K, 4, 4) initial absolute poses.
-      edge_i, edge_j: (E,) int32 endpoints.
-      edge_rel: (E, 4, 4) measured relative poses Z_e (i -> j).
-      edge_info: optional (E, 6, 6) information matrices.
-      prior_info / prior_pose: optional unary prior on pose 0 (from
-        sliding-window marginalization): residual log(prior_pose^-1 T_0)
-        weighted by prior_info.  Pose 0 additionally carries the gauge
-        weight.
+    With `axis_name`, edge arrays are THIS DEVICE'S shard and every
+    edge-indexed reduction (error, b, preconditioner blocks, CG matvec)
+    is completed with a psum over the mesh axis — the poses (and the CG
+    state over them) stay replicated, so every device walks the identical
+    trajectory.  Replicated terms (unary prior, gauge) are added AFTER the
+    psum so they count once.
     """
-    poses = jnp.asarray(poses, jnp.float32)
     k = poses.shape[0]
-    e = edge_i.shape[0]
-    if edge_info is None:
-        edge_info = jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (e, 6, 6))
-    z_inv = se3.invert_transform(edge_rel.astype(jnp.float32))
-    have_prior = prior_info is not None
-    if not have_prior:
-        prior_info = jnp.zeros((6, 6), jnp.float32)
-        prior_pose = jnp.eye(4, dtype=jnp.float32)
 
-    # With a marginalization prior, pose 0 is anchored by the prior itself;
-    # the hard gauge pin would fight it.
-    gauge_w = 0.0 if have_prior else config.gauge_weight
+    def _ps(v):
+        return v if axis_name is None else jax.lax.psum(v, axis_name)
+
     gauge = jnp.zeros((k, 6), jnp.float32).at[0].set(gauge_w)
 
     def _total_err(T):
         r, _ = _edge_res_and_jac(T[edge_i], T[edge_j], z_inv)
         rp = se3.se3_log(se3.invert_transform(prior_pose) @ T[0])
-        e = jnp.einsum("ea,eab,eb->", r, edge_info, r) + rp @ prior_info @ rp
+        e = _ps(jnp.einsum("ea,eab,eb->", r, edge_info, r)) \
+            + rp @ prior_info @ rp
         # poses pushed out of se3_log's domain read as infinitely bad
         return jnp.where(jnp.isfinite(e), e, jnp.float32(jnp.inf))
 
@@ -181,7 +169,7 @@ def optimize_pose_graph_sparse(
         Hjj = jnp.einsum("ead,eam->edm", Jj, WJj)
         bi = jnp.einsum("ead,ea->ed", WJi, r)
         bj = jnp.einsum("ead,ea->ed", WJj, r)
-        err = jnp.einsum("ea,eab,eb->", r, edge_info, r)
+        err = _ps(jnp.einsum("ea,eab,eb->", r, edge_info, r))
 
         # unary prior on pose 0: r_p(d0) = log(prior_pose^-1 T_0 exp(d0))
         rp = se3.se3_log(se3.invert_transform(prior_pose) @ T[0])
@@ -195,28 +183,28 @@ def optimize_pose_graph_sparse(
         bp = WJp.T @ rp
         err = err + rp @ prior_info @ rp
 
-        b = (
+        b = _ps(
             jnp.zeros((k, 6), jnp.float32)
             .at[edge_i].add(bi)
             .at[edge_j].add(bj)
-            .at[0].add(bp)
-        )
+        ).at[0].add(bp)
 
         # Block-tridiagonal preconditioner: per-pose diagonal blocks plus
         # the odometry chain's off-diagonal blocks, solved exactly by
         # block-Thomas elimination each CG iteration.
         gauge_blk = jax.vmap(jnp.diag)(gauge)  # (K, 6, 6)
         Pblocks = (
-            jnp.zeros((k, 6, 6), jnp.float32)
-            .at[edge_i].add(Hii)
-            .at[edge_j].add(Hjj)
-            .at[0].add(Hp)
+            _ps(
+                jnp.zeros((k, 6, 6), jnp.float32)
+                .at[edge_i].add(Hii)
+                .at[edge_j].add(Hjj)
+            ).at[0].add(Hp)
             + gauge_blk
         )
         # super-diagonal: H_{k,k+1} from chain edges in either storage order
         is_fwd = edge_j == edge_i + 1
         is_bwd = edge_i == edge_j + 1
-        U = (
+        U = _ps(
             jnp.zeros((k + 1, 6, 6), jnp.float32)
             .at[jnp.where(is_fwd, edge_i, k)].add(Hij)
             .at[jnp.where(is_bwd, edge_j, k)].add(
@@ -227,7 +215,7 @@ def optimize_pose_graph_sparse(
         def matvec_make(lam):
             return lambda x: matvec_base(x) + lam * x
 
-        def matvec_base(x):  # x (K, 6)
+        def matvec_base(x):  # x (K, 6), replicated; edge products sharded
             xi, xj = x[edge_i], x[edge_j]
             yi = jnp.einsum("edm,em->ed", Hii, xi) + jnp.einsum(
                 "edm,em->ed", Hij, xj
@@ -235,7 +223,7 @@ def optimize_pose_graph_sparse(
             yj = jnp.einsum("emd,em->ed", Hij, xi) + jnp.einsum(
                 "edm,em->ed", Hjj, xj
             )
-            y = (
+            y = _ps(
                 jnp.zeros((k, 6), jnp.float32)
                 .at[edge_i].add(yi)
                 .at[edge_j].add(yj)
@@ -327,8 +315,124 @@ def optimize_pose_graph_sparse(
             jnp.float32(0.0), jnp.array(False))
     it, T, _lam, err, conv = jax.lax.while_loop(cond, gn_step, init)
     r, _ = _edge_res_and_jac(T[edge_i], T[edge_j], z_inv)
-    err = jnp.einsum("ea,eab,eb->", r, edge_info, r)
+    err = _ps(jnp.einsum("ea,eab,eb->", r, edge_info, r))
     return PoseGraphResult(poses=T, error=err, iterations=it, converged=conv)
+
+
+@partial(jax.jit, static_argnames=("config",))
+@f32_matmuls
+def optimize_pose_graph_sparse(
+    poses,
+    edge_i,
+    edge_j,
+    edge_rel,
+    edge_info=None,
+    prior_info=None,
+    prior_pose=None,
+    config: SparsePGConfig = SparsePGConfig(),
+) -> PoseGraphResult:
+    """Gauss-Newton + block-PCG pose-graph solve (scales to 1000s of
+    keyframes; matches `optimize_pose_graph` on small graphs).
+
+    Args:
+      poses: (K, 4, 4) initial absolute poses.
+      edge_i, edge_j: (E,) int32 endpoints.
+      edge_rel: (E, 4, 4) measured relative poses Z_e (i -> j).
+      edge_info: optional (E, 6, 6) information matrices.
+      prior_info / prior_pose: optional unary prior on pose 0 (from
+        sliding-window marginalization): residual log(prior_pose^-1 T_0)
+        weighted by prior_info.  Pose 0 additionally carries the gauge
+        weight.
+    """
+    poses = jnp.asarray(poses, jnp.float32)
+    e = edge_i.shape[0]
+    if edge_info is None:
+        edge_info = jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (e, 6, 6))
+    z_inv = se3.invert_transform(edge_rel.astype(jnp.float32))
+    have_prior = prior_info is not None
+    if not have_prior:
+        prior_info = jnp.zeros((6, 6), jnp.float32)
+        prior_pose = jnp.eye(4, dtype=jnp.float32)
+
+    # With a marginalization prior, pose 0 is anchored by the prior itself;
+    # the hard gauge pin would fight it.
+    gauge_w = 0.0 if have_prior else config.gauge_weight
+    return _optimize_sparse(
+        poses, edge_i, edge_j, z_inv, edge_info, prior_info, prior_pose,
+        gauge_w, config,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "config"))
+@f32_matmuls
+def optimize_pose_graph_sparse_sharded(
+    mesh,
+    poses,
+    edge_i,
+    edge_j,
+    edge_rel,
+    edge_info=None,
+    prior_info=None,
+    prior_pose=None,
+    config: SparsePGConfig = SparsePGConfig(),
+) -> PoseGraphResult:
+    """Distributed pose-graph solve: EDGES sharded over the device mesh.
+
+    The north-star back-end shape (SURVEY.md §2.4): each device linearizes
+    its own edge shard (residuals, 6x12 Jacobians, 6x6 blocks) and the
+    normal equations / CG matvecs are completed with `psum` collectives —
+    per CG iteration the wire carries one (K, 6) vector per device, so a
+    graph with millions of edges scales by edge count while the replicated
+    pose state stays tiny.  Exact same trajectory as the single-device
+    solver (the psum'd sums are bit-identical up to f32 reduction order).
+
+    Edges are padded to a multiple of the mesh size with zero-information
+    self-loops on pose 0, which contribute exactly nothing to any sum.
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    poses = jnp.asarray(poses, jnp.float32)
+    e = edge_i.shape[0]
+    if edge_info is None:
+        edge_info = jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (e, 6, 6))
+    pad = (-e) % d
+    if pad:
+        edge_i = jnp.concatenate([edge_i, jnp.zeros(pad, edge_i.dtype)])
+        edge_j = jnp.concatenate([edge_j, jnp.zeros(pad, edge_j.dtype)])
+        edge_rel = jnp.concatenate([
+            edge_rel,
+            jnp.broadcast_to(jnp.eye(4, dtype=edge_rel.dtype), (pad, 4, 4)),
+        ])
+        edge_info = jnp.concatenate(
+            [edge_info, jnp.zeros((pad, 6, 6), edge_info.dtype)]
+        )
+    z_inv = se3.invert_transform(edge_rel.astype(jnp.float32))
+    have_prior = prior_info is not None
+    if not have_prior:
+        prior_info = jnp.zeros((6, 6), jnp.float32)
+        prior_pose = jnp.eye(4, dtype=jnp.float32)
+    gauge_w = 0.0 if have_prior else config.gauge_weight
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(),
+    )
+    def run(T0, ei, ej, zi, info, pinfo, ppose):
+        return _optimize_sparse(
+            T0, ei, ej, zi, info, pinfo, ppose, gauge_w, config,
+            axis_name=axis,
+        )
+
+    return run(poses, edge_i, edge_j, z_inv, edge_info, prior_info,
+               prior_pose)
 
 
 class SlidingWindowBA:

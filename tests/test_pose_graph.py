@@ -218,3 +218,93 @@ def test_sliding_window_ba(rng):
            @ np.linalg.inv(gt[gi]) @ gt[gj])[:3, 3]
     )
     assert after < before * 0.5 + 1e-6, (before, after)
+
+
+def test_sharded_matches_single_device(rng):
+    """Edge-sharded distributed solve reproduces the single-device sparse
+    solver on the 8-device mesh (E=10 edges pad to 16 with zero-info
+    self-loops; psum'd reductions match up to f32 summation order)."""
+    from fast_gicp_tpu.models.pose_graph_sparse import (
+        SparsePGConfig, optimize_pose_graph_sparse,
+        optimize_pose_graph_sparse_sharded,
+    )
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+
+    gt = _chain(rng, k=10)
+    k = len(gt)
+    i, j, rel = edges_from_odometry(gt)
+    noise = rng.normal(scale=0.01, size=(k - 1, 6)).astype(np.float32)
+    rel_noisy = np.stack(
+        [r @ np.asarray(se3.se3_exp(jnp.asarray(n)), np.float32)
+         for r, n in zip(rel, noise)]
+    )
+    drifted = [np.eye(4, dtype=np.float64)]
+    for r in rel_noisy:
+        drifted.append(drifted[-1] @ r.astype(np.float64))
+    lc_rel = (np.linalg.inv(gt[0]) @ gt[-1]).astype(np.float32)
+    edge_i = np.concatenate([i, [0]]).astype(np.int32)
+    edge_j = np.concatenate([j, [k - 1]]).astype(np.int32)
+    edge_rel = np.concatenate([rel_noisy, lc_rel[None]])
+    info = np.broadcast_to(np.eye(6, dtype=np.float32), (k, 6, 6)).copy()
+    info[-1] *= 1e4
+
+    cfg = SparsePGConfig(max_iterations=20)
+    single = optimize_pose_graph_sparse(
+        jnp.asarray(np.stack(drifted), jnp.float32),
+        jnp.asarray(edge_i), jnp.asarray(edge_j), jnp.asarray(edge_rel),
+        jnp.asarray(info), config=cfg,
+    )
+    mesh = make_mesh(8)
+    sharded = optimize_pose_graph_sparse_sharded(
+        mesh,
+        jnp.asarray(np.stack(drifted), jnp.float32),
+        jnp.asarray(edge_i), jnp.asarray(edge_j), jnp.asarray(edge_rel),
+        jnp.asarray(info), config=cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.poses), np.asarray(single.poses), atol=2e-3
+    )
+    # both recover the trajectory
+    opt = np.asarray(sharded.poses, np.float64)
+    drift1 = np.linalg.norm(opt[-1][:3, 3] - gt[-1][:3, 3])
+    drifted_err = np.linalg.norm(drifted[-1][:3, 3] - gt[-1][:3, 3])
+    assert drift1 < 0.5 * max(drifted_err, 1e-6) + 1e-3
+
+
+def test_sharded_with_marginalization_prior(rng):
+    """Sharded solver honors the unary marginalization prior (replicated
+    term counted exactly once despite the psum'd edge reductions)."""
+    from fast_gicp_tpu.models.pose_graph_sparse import (
+        SparsePGConfig, optimize_pose_graph_sparse,
+        optimize_pose_graph_sparse_sharded,
+    )
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+
+    gt = _chain(rng, k=6)
+    i, j, rel = edges_from_odometry(gt)
+    # anchor pose 0 at a slightly different place via a strong prior
+    prior_pose = np.asarray(
+        gt[0] @ np.asarray(
+            se3.se3_exp(jnp.asarray(np.float32([0, 0, 0, 0.02, 0, 0]))),
+            np.float64,
+        ), np.float32,
+    )
+    prior_info = 1e4 * np.eye(6, dtype=np.float32)
+    cfg = SparsePGConfig(max_iterations=15)
+    args = (
+        jnp.asarray(np.stack(gt), jnp.float32),
+        jnp.asarray(i), jnp.asarray(j), jnp.asarray(rel),
+    )
+    single = optimize_pose_graph_sparse(
+        *args, prior_info=jnp.asarray(prior_info),
+        prior_pose=jnp.asarray(prior_pose), config=cfg,
+    )
+    sharded = optimize_pose_graph_sparse_sharded(
+        make_mesh(8), *args, prior_info=jnp.asarray(prior_info),
+        prior_pose=jnp.asarray(prior_pose), config=cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.poses), np.asarray(single.poses), atol=2e-3
+    )
+    # the prior actually pulled pose 0 off the origin
+    assert np.linalg.norm(np.asarray(sharded.poses)[0][:3, 3]) > 5e-3
