@@ -149,6 +149,61 @@ def grow_map(state: MapState, new_capacity: int) -> MapState:
     )
 
 
+def _compact_map_impl(state: MapState, center, radius) -> MapState:
+    """Evict voxels farther than `radius` from `center` (bounded memory).
+
+    The eviction policy the fixed-capacity ring deferred (see `update_map`):
+    long drives only ever register against geometry near the sensor, so
+    voxels that fall outside a world-frame sphere around the current pose
+    are dropped and their rows recycled.  Everything is one fixed-shape
+    dispatch: argsort the keep mask (stable — survivors keep their relative
+    order, so repeated compactions are deterministic), slide survivors to
+    the front, rebuild the open-addressing lut with the same scatter-min
+    claiming rounds as the static builder.  Capacity is unchanged; only
+    `num_voxels` shrinks.  `center`/`radius` are device values — callers
+    decide WHEN to compact (e.g. every N frames) without a sync.
+
+    The reference has no analogue (its GPU map lives for one align,
+    gaussian_voxelmap.cu); this is for the persistent scan-to-map mode.
+    """
+    from ..ops.voxelmap import _build_table
+
+    capacity = state.sums.shape[0]
+    table_size = state.lut.shape[0]
+    vid = jnp.arange(capacity, dtype=jnp.int32)
+    live = vid < state.num_voxels
+    # voxel coord c spans x/res in [c+0.5, c+1.5) -> center (c+1)*res
+    centers = (state.coords.astype(jnp.float32) + 1.0) * state.resolution
+    d2 = jnp.sum((centers - jnp.asarray(center, jnp.float32)[None]) ** 2, 1)
+    keep = live & (d2 <= jnp.asarray(radius, jnp.float32) ** 2)
+    order = jnp.argsort(~keep)  # stable: keep-rows first, order preserved
+    count = jnp.sum(keep).astype(jnp.int32)
+    front = vid < count
+    sums = jnp.where(front[:, None], state.sums[order], 0.0)
+    coords = jnp.where(front[:, None], state.coords[order], 0)
+    table = _build_table(coords, count, capacity, table_size, MAX_PROBE)
+    safe_t = jnp.maximum(table, 0) * (table != _EMPTY)
+    lut_coords = jnp.where(
+        (table != _EMPTY)[:, None], coords[safe_t], _COORD_SENTINEL
+    )
+    lut = jnp.concatenate([table[:, None], lut_coords], axis=1)
+    return MapState(
+        sums=sums,
+        coords=coords,
+        lut=lut,
+        num_voxels=count,
+        resolution=state.resolution,
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+@f32_matmuls
+def compact_map(state: MapState, center, radius) -> MapState:
+    """Jitted, state-donating view of `_compact_map_impl` (the sharded map
+    calls the impl inside its own shard_map instead)."""
+    return _compact_map_impl(state, center, radius)
+
+
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("new_cap",))
 @f32_matmuls
 def update_map(state: MapState, points_world, covs_world, mask,
@@ -355,6 +410,13 @@ class ScanToMapConfig(NamedTuple):
     # (the prediction is then the likelier culprit; without this a track
     # that drifts outside the gates can never re-anchor to the map).
     gate_relock_after: int = 5
+    # Bounded-memory eviction: every `evict_every` frames, drop voxels
+    # farther than `eviction_radius` (meters) from the current pose
+    # (compact_map). None keeps the full history (mapping mode); set a
+    # radius for unbounded drives (odometry mode). The compaction is
+    # enqueued device-side — no sync.
+    eviction_radius: float = None
+    evict_every: int = 64
     lsq: LsqConfig = LsqConfig()
 
 
@@ -552,6 +614,7 @@ class ScanToMapOdometry:
         self._last_delta = jnp.eye(4, dtype=jnp.float32)
         self._reject_streak = jnp.int32(0)
         self._frames_since_check = 0
+        self._frames_since_evict = 0
         # Sticky padding bucket (avoids recompile storms); pass `bucket`
         # (max expected scan size) to pin it up front — a mid-sequence
         # bucket growth recompiles the fused frame graph (~minutes on the
@@ -561,6 +624,7 @@ class ScanToMapOdometry:
     def _maybe_grow(self) -> None:
         """Grow the map 2x when >70% full (checked every grow_check_every
         frames; the check synchronizes, so it is amortized)."""
+        self._maybe_evict()
         self._frames_since_check += 1
         if self._frames_since_check < self.config.grow_check_every:
             return
@@ -573,6 +637,20 @@ class ScanToMapOdometry:
             self.state = grow_map(
                 self.state, min(capacity * 2, self.config.max_capacity)
             )
+
+    def _maybe_evict(self) -> None:
+        """Every evict_every frames, drop voxels beyond eviction_radius of
+        the current pose (enqueued device-side; no sync)."""
+        if self.config.eviction_radius is None or not self._poses_dev:
+            return
+        self._frames_since_evict += 1
+        if self._frames_since_evict < self.config.evict_every:
+            return
+        self._frames_since_evict = 0
+        center = self._poses_dev[-1][:3, 3]
+        self.state = compact_map(
+            self.state, center, jnp.float32(self.config.eviction_radius)
+        )
 
     def _covs(self, points, mask):
         from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit

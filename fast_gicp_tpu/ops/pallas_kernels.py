@@ -53,11 +53,15 @@ from .neighbors import MASK_COORD
 
 # Tile sizes: query rows per step x target cols per step.  Swept on v5e:
 # the NN kernel (argmin-heavy) prefers smaller tiles than the RBF kernel
-# (matmul-heavy).
-_QT = 512
-_TT = 2048
-_RQT = 1024
-_RTT = 2048
+# (matmul-heavy).  Env overrides are a dev knob for re-sweeping on new
+# hardware (tools/sweep_rbf_tiles.py); a fresh process per setting — the
+# values are baked into traced kernels.
+import os as _os
+
+_QT = int(_os.environ.get("FAST_GICP_TPU_QT", 512))
+_TT = int(_os.environ.get("FAST_GICP_TPU_TT", 2048))
+_RQT = int(_os.environ.get("FAST_GICP_TPU_RQT", 1024))
+_RTT = int(_os.environ.get("FAST_GICP_TPU_RTT", 2048))
 
 _BIG = 3.0e38  # python float: jnp constants can't be captured by kernels
 

@@ -163,6 +163,39 @@ def grow_sharded_map(
     return run(state)
 
 
+@partial(jax.jit, static_argnames=("mesh",))
+def compact_sharded_map(mesh, state: ShardedMapState, center, radius
+                        ) -> ShardedMapState:
+    """Evict voxels beyond `radius` of `center` on every shard.
+
+    Like growth, eviction is pure per-device computation (each shard
+    argsort-compacts its own rows and rebuilds its own lut; ownership
+    hashes are unchanged) — no collective.  See scan_to_map.compact_map.
+    """
+    axis = mesh.axis_names[0]
+    from ..models.scan_to_map import _compact_map_impl
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(_state_specs(axis), P(), P()),
+        out_specs=_state_specs(axis),
+    )
+    def run(st, c, r):
+        local = _local_state(*st[:4], st.resolution)
+        new = _compact_map_impl(local, c, r)
+        return ShardedMapState(
+            sums=new.sums,
+            coords=new.coords,
+            lut=new.lut,
+            num_voxels=new.num_voxels[None],
+            resolution=st.resolution,
+        )
+
+    return run(state, jnp.asarray(center, jnp.float32),
+               jnp.asarray(radius, jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("mesh", "config"))
 @f32_matmuls
 def align_to_sharded_map(
@@ -511,10 +544,25 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
             self.mesh, self.state, world_pts, world_covs, fuse_mask
         )
 
+    def _maybe_evict(self) -> None:
+        """Per-shard eviction (compact_sharded_map); device-local, no
+        collective, enqueued without a sync."""
+        if self.config.eviction_radius is None or not self._poses_dev:
+            return
+        self._frames_since_evict += 1
+        if self._frames_since_evict < self.config.evict_every:
+            return
+        self._frames_since_evict = 0
+        self.state = compact_sharded_map(
+            self.mesh, self.state, self._poses_dev[-1][:3, 3],
+            jnp.float32(self.config.eviction_radius),
+        )
+
     def _maybe_grow(self) -> None:
         """Grow every shard 2x when the fullest shard passes 70% (checked
         every grow_check_every frames; the fill read synchronizes, so it is
         amortized).  Growth is per-device-local — see grow_sharded_map."""
+        self._maybe_evict()
         self._frames_since_check += 1
         if self._frames_since_check < self.config.grow_check_every:
             return

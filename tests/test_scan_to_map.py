@@ -333,3 +333,95 @@ def test_sharded_rbf_covariances_match_single():
     np.testing.assert_allclose(
         c_sharded[valid], c_single[valid], rtol=5e-2, atol=2e-3
     )
+
+
+def test_compact_map_evicts_far_voxels(rng):
+    """compact_map drops voxels outside the radius, keeps stats/lookup of
+    survivors intact, and recycles capacity for new insertions."""
+    from fast_gicp_tpu.models.scan_to_map import compact_map
+
+    state = empty_map(1024, 1.0)
+    near = jnp.asarray((rng.random((128, 3)) * 8).astype(np.float32))
+    far = jnp.asarray(
+        (rng.random((128, 3)) * 8 + 200.0).astype(np.float32)
+    )
+    mask = jnp.ones(128, bool)
+    covs = _identity_covs(128)
+    state = update_map(state, near, covs, mask)
+    state = update_map(state, far, covs, mask)
+    nv_all = int(state.num_voxels)
+    assert float(state.sums[:, 0].sum()) == 256.0
+
+    center = jnp.zeros(3, jnp.float32)
+    state = compact_map(state, center, jnp.float32(50.0))
+    nv_near = int(state.num_voxels)
+    assert 0 < nv_near < nv_all
+    # survivors hold exactly the near points' mass
+    assert float(state.sums[:, 0].sum()) == 128.0
+
+    # lookup still resolves a surviving voxel...
+    vm = map_as_voxelmap(state)
+    c = voxel_coord(near[:1], 1.0)
+    vid = lookup_voxels(vm, c)
+    assert int(vid[0]) >= 0
+    # ...and misses an evicted one
+    c_far = voxel_coord(far[:1], 1.0)
+    vid_far = lookup_voxels(vm, c_far)
+    assert int(vid_far[0]) < 0
+
+    # recycled rows admit new voxels
+    state = update_map(state, far, covs, mask)
+    assert int(state.num_voxels) > nv_near
+    assert float(state.sums[:, 0].sum()) == 256.0
+
+
+def test_odometry_eviction_bounds_map(rng):
+    """A long straight drive with eviction enabled keeps num_voxels
+    bounded (stays well under what the unbounded run accumulates) while
+    still tracking the trajectory."""
+    scans, gt = _trajectory_scans(rng, n_frames=24)
+    cfg_kwargs = dict(
+        resolution=1.0, capacity=1 << 13,
+        lsq=LsqConfig(max_iterations=12),
+    )
+    odo_free = ScanToMapOdometry(
+        ScanToMapConfig(**cfg_kwargs), covariance="knn")
+    odo_ev = ScanToMapOdometry(
+        ScanToMapConfig(**cfg_kwargs, eviction_radius=18.0, evict_every=6),
+        covariance="knn",
+    )
+    for s in scans:
+        odo_free.process_async(s)
+        odo_ev.process_async(s)
+    nv_free = int(odo_free.state.num_voxels)
+    nv_ev = int(odo_ev.state.num_voxels)
+    assert nv_ev < nv_free, (nv_ev, nv_free)
+    ate = ate_rmse(gt, odo_ev.poses)
+    assert ate < 0.2, ate
+
+
+def test_sharded_eviction_matches_policy(rng):
+    """compact_sharded_map drops exactly the out-of-radius voxels on every
+    shard (total surviving mass equals the single-device policy)."""
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import (
+        compact_sharded_map, empty_sharded_map, update_sharded_map,
+    )
+
+    mesh = make_mesh(8)
+    state = empty_sharded_map(mesh, 512, 1.0)
+    near = jnp.asarray((rng.random((128, 3)) * 8).astype(np.float32))
+    far = jnp.asarray((rng.random((128, 3)) * 8 + 200.0).astype(np.float32))
+    mask = jnp.ones(128, bool)
+    covs = _identity_covs(128)
+    state = update_sharded_map(mesh, state, near, covs, mask)
+    state = update_sharded_map(mesh, state, far, covs, mask)
+    assert float(state.sums[:, 0].sum()) == 256.0
+
+    state = compact_sharded_map(
+        mesh, state, jnp.zeros(3, jnp.float32), jnp.float32(50.0)
+    )
+    assert float(state.sums[:, 0].sum()) == 128.0
+    # refill works after compaction
+    state = update_sharded_map(mesh, state, far, covs, mask)
+    assert float(state.sums[:, 0].sum()) == 256.0
