@@ -60,7 +60,11 @@ import os as _os
 
 _QT = int(_os.environ.get("FAST_GICP_TPU_QT", 512))
 _TT = int(_os.environ.get("FAST_GICP_TPU_TT", 2048))
-_RQT = int(_os.environ.get("FAST_GICP_TPU_RQT", 1024))
+# RBF tiles re-swept post-culling on the sorted benchmark clouds
+# (tools/sweep_rbf_tiles.py, 18432 pts): 512x2048 0.621 ms beats the
+# round-1 1024x2048 (0.739) — finer query tiles double the bbox-cull
+# grid resolution and the culled fraction wins over the extra grid steps.
+_RQT = int(_os.environ.get("FAST_GICP_TPU_RQT", 512))
 _RTT = int(_os.environ.get("FAST_GICP_TPU_RTT", 2048))
 
 _BIG = 3.0e38  # python float: jnp constants can't be captured by kernels
