@@ -163,6 +163,17 @@ class Registration:
     def set_target_covariances(self, covs) -> None:
         self._require_target().covs = jnp.asarray(covs)
 
+    def clear_covariances(self) -> None:
+        """Drop cached covariances so the next align re-estimates them —
+        the class-API analogue of constructing a fresh instance per align,
+        which is what the reference benchmark's N-times loop does
+        (align.cpp:56-76). Lets pipelined callers (`align_async`) benchmark
+        full re-estimation without re-uploading the clouds."""
+        if self._source is not None:
+            self._source.covs = None
+        if self._target is not None:
+            self._target.covs = None
+
     def _require_source(self) -> Cloud:
         if self._source is None:
             raise RuntimeError("set_input_source has not been called")

@@ -298,3 +298,21 @@ def test_align_async_pipelines(bundled_pair):
     assert reg.has_converged()
     err = np.linalg.norm((np.linalg.inv(gt) @ T)[:3, 3])
     assert err < 0.05
+
+
+def test_clear_covariances_reestimates(bundled_pair):
+    """clear_covariances drops the cache so the next align re-estimates —
+    the async analogue of the reference benchmark's fresh-instance Nx loop
+    (align.cpp:56-76, apps/align.py --pipelined)."""
+    source, target, gt = bundled_pair
+    from fast_gicp_tpu.models.vgicp import FastVGICP
+
+    reg = FastVGICP(resolution=1.0, covariance_estimation="knn")
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    T1 = reg.align()
+    assert reg._source.covs is not None and reg._target.covs is not None
+    reg.clear_covariances()
+    assert reg._source.covs is None and reg._target.covs is None
+    T2 = reg.align()  # re-estimates and converges to the same pose
+    np.testing.assert_allclose(T1, T2, atol=1e-5)
