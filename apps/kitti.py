@@ -41,6 +41,13 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--resolution", type=float, default=1.0)
     parser.add_argument("--out", default="/tmp/traj.txt")
+    parser.add_argument(
+        "--eviction-radius", type=float, default=None, metavar="M",
+        help="(--mode map) bound map memory on long drives: every "
+        "--evict-every frames drop voxels farther than this many meters "
+        "from the current pose (default: keep full history)",
+    )
+    parser.add_argument("--evict-every", type=int, default=64)
     parser.add_argument("--plot", default=None, metavar="PNG",
                         help="save a top-down trajectory plot (matplotlib), "
                              "like the reference kitti.py viewer")
@@ -80,7 +87,11 @@ def main(argv=None):
         from fast_gicp_tpu.utils.downsample import voxel_downsample
 
         odo = ScanToMapOdometry(
-            ScanToMapConfig(resolution=args.resolution)
+            ScanToMapConfig(
+                resolution=args.resolution,
+                eviction_radius=args.eviction_radius,
+                evict_every=args.evict_every,
+            )
         )
         for scan in scans:
             odo.process_async(voxel_downsample(scan, args.downsample))
