@@ -112,6 +112,41 @@ def load_map(path: str) -> MapState:
     )
 
 
+def map_from_voxels(sums, coords, resolution: float,
+                    capacity: int = None) -> MapState:
+    """Build a MapState from bare live-voxel rows (host or device arrays):
+    `sums` (n, 13), `coords` (n, 3).  Used by the sharded-map merge/
+    distribute checkpoint path; `capacity` defaults to 2x the row count
+    (growth headroom), rounded to a power of two."""
+    from ..ops.voxelmap import _build_table
+
+    sums = jnp.asarray(sums, jnp.float32)
+    coords = jnp.asarray(coords, jnp.int32)
+    n = sums.shape[0]
+    if capacity is None:
+        capacity = max(256, next_pow2(2 * max(1, n)))
+    if n > capacity:
+        raise ValueError(f"{n} voxels exceed capacity {capacity}")
+    table_size = next_pow2(8 * capacity)
+    sums_full = jnp.zeros((capacity, 13), jnp.float32).at[:n].set(sums)
+    coords_full = jnp.zeros((capacity, 3), jnp.int32).at[:n].set(coords)
+    table = _build_table(
+        coords_full, jnp.int32(n), capacity, table_size, MAX_PROBE
+    )
+    safe_t = jnp.maximum(table, 0) * (table != _EMPTY)
+    lut_coords = jnp.where(
+        (table != _EMPTY)[:, None], coords_full[safe_t], _COORD_SENTINEL
+    )
+    lut = jnp.concatenate([table[:, None], lut_coords], axis=1)
+    return MapState(
+        sums=sums_full,
+        coords=coords_full,
+        lut=lut,
+        num_voxels=jnp.int32(n),
+        resolution=jnp.asarray(resolution, jnp.float32),
+    )
+
+
 def grow_map(state: MapState, new_capacity: int) -> MapState:
     """Migrate the map into a larger allocation (one-time O(new_capacity)).
 

@@ -93,6 +93,106 @@ def _state_specs(axis):
     )
 
 
+def _owner_hash_np(coords, d: int):
+    """NumPy mirror of the device ownership hash (update_sharded_map /
+    _owner_of): voxel coord -> owning device, bit-exact with the jnp path
+    (same uint32 modular arithmetic), usable without any live backend."""
+    import numpy as np
+
+    c = np.asarray(coords).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        h = (
+            (c[..., 0] * np.uint32(73856093))
+            ^ (c[..., 1] * np.uint32(19349669))
+            ^ (c[..., 2] * np.uint32(83492791))
+        )
+        h = (h ^ (h >> np.uint32(16))) * np.uint32(0x9E3779B9)
+    return ((h >> np.uint32(8)) % np.uint32(d)).astype(np.int64)
+
+
+def merge_sharded_map(state: ShardedMapState, capacity: int = None):
+    """Merge the per-device shards into ONE single-device `MapState`
+    (host-side cold path): ownership is disjoint, so the merged map is the
+    concatenation of every shard's live rows with a rebuilt lut.  Pairs
+    with `distribute_map` for checkpoint/resume across meshes of ANY size
+    (including down to a single device) — `save_map(path,
+    merge_sharded_map(st))` then `distribute_map(mesh, load_map(path))`."""
+    import numpy as np
+
+    from ..models.scan_to_map import map_from_voxels
+
+    sums = np.asarray(state.sums)
+    coords = np.asarray(state.coords)
+    nv = np.asarray(state.num_voxels)
+    d = nv.shape[0]
+    cap_local = sums.shape[0] // d
+    rows_s, rows_c = [], []
+    for s in range(d):
+        k = int(nv[s])
+        rows_s.append(sums[s * cap_local : s * cap_local + k])
+        rows_c.append(coords[s * cap_local : s * cap_local + k])
+    return map_from_voxels(
+        np.concatenate(rows_s), np.concatenate(rows_c),
+        float(np.asarray(state.resolution)), capacity,
+    )
+
+
+def distribute_map(mesh, state, capacity_per_device: int = None
+                   ) -> ShardedMapState:
+    """Partition a single-device `MapState` onto the mesh by the ownership
+    hash — resume a `save_map`/`merge_sharded_map` checkpoint on any device
+    count.  `capacity_per_device` defaults to 2x the fullest shard's row
+    count (growth headroom), rounded to a power of two."""
+    import numpy as np
+
+    from ..models.scan_to_map import map_from_voxels
+    from ..ops.voxelmap import next_pow2
+
+    d = mesh.shape[mesh.axis_names[0]]
+    n = int(np.asarray(state.num_voxels))
+    coords = np.asarray(state.coords)[:n]
+    sums = np.asarray(state.sums)[:n]
+    res = float(np.asarray(state.resolution))
+    owner = _owner_hash_np(coords, d)
+    counts = np.bincount(owner, minlength=d)
+    if capacity_per_device is None:
+        capacity_per_device = max(256, next_pow2(2 * max(1, int(counts.max()))))
+    if counts.max() > capacity_per_device:
+        raise ValueError(
+            f"fullest shard needs {int(counts.max())} rows > "
+            f"capacity_per_device {capacity_per_device}"
+        )
+    shards = [
+        map_from_voxels(sums[owner == s], coords[owner == s], res,
+                        capacity_per_device)
+        for s in range(d)
+    ]
+    return ShardedMapState(
+        sums=jnp.concatenate([sh.sums for sh in shards]),
+        coords=jnp.concatenate([sh.coords for sh in shards]),
+        lut=jnp.concatenate([sh.lut for sh in shards]),
+        num_voxels=jnp.stack([sh.num_voxels for sh in shards]),
+        resolution=shards[0].resolution,
+    )
+
+
+def save_sharded_map(path: str, state: ShardedMapState) -> None:
+    """Checkpoint the sharded map as a mesh-size-independent single map
+    (merge + `save_map`); restore with `load_sharded_map` on any mesh."""
+    from ..models.scan_to_map import save_map
+
+    save_map(path, merge_sharded_map(state))
+
+
+def load_sharded_map(mesh, path: str, capacity_per_device: int = None
+                     ) -> ShardedMapState:
+    """Restore a `save_sharded_map` (or plain `save_map`) checkpoint onto
+    `mesh`."""
+    from ..models.scan_to_map import load_map
+
+    return distribute_map(mesh, load_map(path), capacity_per_device)
+
+
 @partial(jax.jit, static_argnames=("mesh",), donate_argnums=(1,))
 @f32_matmuls
 def update_sharded_map(
@@ -527,12 +627,37 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
         config: ScanToMapConfig = ScanToMapConfig(),
         mesh=None,
         covariance: str = "rbf",
+        initial_map=None,
     ):
         super().__init__(config, covariance=covariance)
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.shape[self.mesh.axis_names[0]]
-        cap_local = max(1, config.capacity // d)
-        self.state = empty_sharded_map(self.mesh, cap_local, config.resolution)
+        # initial_map: resume from a checkpoint — either an already-sharded
+        # state (same mesh size) or a single-device MapState /
+        # `save_map` checkpoint, which is distributed by ownership hash
+        # (works across any device count; see load_sharded_map).
+        if initial_map is None:
+            cap_local = max(1, config.capacity // d)
+            self.state = empty_sharded_map(
+                self.mesh, cap_local, config.resolution
+            )
+        elif isinstance(initial_map, ShardedMapState):
+            if initial_map.num_voxels.shape[0] != d:
+                raise ValueError(
+                    f"checkpoint has {initial_map.num_voxels.shape[0]} "
+                    f"shards, mesh has {d} — merge and redistribute "
+                    "(save_sharded_map/load_sharded_map)"
+                )
+            self.state = initial_map
+        else:
+            self.state = distribute_map(self.mesh, initial_map)
+
+    def save(self, path: str) -> None:
+        """Checkpoint the sharded map as a mesh-size-independent single-map
+        .npz (save_sharded_map); resume on ANY mesh via
+        `ShardedScanToMapOdometry(..., initial_map=load_map(path))` or
+        single-device `ScanToMapOdometry(initial_map=load_map(path))`."""
+        save_sharded_map(path, self.state)
 
     def _align(self, pts, mask, covs, guess):
         return align_to_sharded_map_partitioned(

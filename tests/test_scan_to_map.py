@@ -425,3 +425,67 @@ def test_sharded_eviction_matches_policy(rng):
     # refill works after compaction
     state = update_sharded_map(mesh, state, far, covs, mask)
     assert float(state.sums[:, 0].sum()) == 256.0
+
+
+def test_sharded_checkpoint_roundtrip(rng, tmp_path):
+    """Sharded checkpoint/resume is mesh-size-independent: a sharded map
+    merges to a single MapState with identical voxel content, restores onto
+    meshes of different sizes, and the restored maps localize a scan to the
+    same pose."""
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry, load_map,
+    )
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import (
+        ShardedScanToMapOdometry, distribute_map, merge_sharded_map,
+    )
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+
+    scans, gt = _trajectory_scans(np.random.default_rng(5), n_frames=3)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+    mesh8 = make_mesh(8)
+    odo = ShardedScanToMapOdometry(cfg, mesh=mesh8, covariance="knn")
+    for s in scans[:2]:
+        odo.process(s)
+
+    # merge: every shard's live voxels survive with identical stats
+    merged = merge_sharded_map(odo.state)
+    nv_total = int(np.asarray(odo.state.num_voxels).sum())
+    assert int(np.asarray(merged.num_voxels)) == nv_total
+    np.testing.assert_allclose(
+        float(np.asarray(merged.sums[:, 0].sum())),
+        float(np.asarray(odo.state.sums[:, 0].sum())),
+    )
+
+    # save via the odometry wrapper; restore single-device AND re-sharded
+    path = str(tmp_path / "sharded_map.npz")
+    odo.save(path)
+    ck = load_map(path)
+    assert int(np.asarray(ck.num_voxels)) == nv_total
+
+    def _resume(resumed):
+        # re-materialize the seeded pose chain as fresh host-backed arrays
+        # (device arrays from the 8-device run carry that mesh's sharding)
+        resumed._poses_dev = [jnp.asarray(np.asarray(p))
+                              for p in odo._poses_dev]
+        resumed._last_delta = jnp.asarray(np.asarray(odo._last_delta))
+        return resumed.process(scans[2])
+
+    # load a fresh copy per resume: the fused frame step DONATES the map
+    # state, so a single loaded MapState cannot back several odometries
+    p_single = _resume(ScanToMapOdometry(cfg, covariance="knn",
+                                         initial_map=load_map(path)))
+    p_8 = _resume(ShardedScanToMapOdometry(cfg, mesh=mesh8, covariance="knn",
+                                           initial_map=load_map(path)))
+    p_2 = _resume(ShardedScanToMapOdometry(cfg, mesh=make_mesh(2),
+                                           covariance="knn",
+                                           initial_map=load_map(path)))
+    p_orig = odo.process(scans[2])
+    np.testing.assert_allclose(p_single, p_orig, atol=5e-3)
+    np.testing.assert_allclose(p_8, p_orig, atol=5e-3)
+    np.testing.assert_allclose(p_2, p_orig, atol=5e-3)
+
+    # distribute partitions every voxel exactly once
+    redist = distribute_map(mesh8, merged)
+    assert int(np.asarray(redist.num_voxels).sum()) == nv_total
