@@ -71,6 +71,12 @@ _edge_res_and_jac = jax.vmap(
     )
 )
 
+# residual-only view for the LM trial loop's error evaluations (one per
+# damping trial): don't lean on DCE to strip the 12-wide jacfwd
+_edge_res_only = jax.vmap(
+    lambda Ti, Tj, z_inv: _edge_res(Ti, Tj, z_inv, jnp.zeros(12, jnp.float32))
+)
+
 
 def _chol_inv6(A):
     """Batched 6x6 SPD inverse via the unrolled Cholesky solve."""
@@ -151,7 +157,7 @@ def _optimize_sparse(
     gauge = jnp.zeros((k, 6), jnp.float32).at[0].set(gauge_w)
 
     def _total_err(T):
-        r, _ = _edge_res_and_jac(T[edge_i], T[edge_j], z_inv)
+        r = _edge_res_only(T[edge_i], T[edge_j], z_inv)
         rp = se3.se3_log(se3.invert_transform(prior_pose) @ T[0])
         e = _ps(jnp.einsum("ea,eab,eb->", r, edge_info, r)) \
             + rp @ prior_info @ rp
@@ -314,7 +320,7 @@ def _optimize_sparse(
     init = (jnp.int32(0), poses, jnp.float32(config.damping),
             jnp.float32(0.0), jnp.array(False))
     it, T, _lam, err, conv = jax.lax.while_loop(cond, gn_step, init)
-    r, _ = _edge_res_and_jac(T[edge_i], T[edge_j], z_inv)
+    r = _edge_res_only(T[edge_i], T[edge_j], z_inv)
     err = _ps(jnp.einsum("ea,eab,eb->", r, edge_info, r))
     return PoseGraphResult(poses=T, error=err, iterations=it, converged=conv)
 
