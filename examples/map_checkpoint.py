@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Map-then-localize: checkpoint a persistent map, resume anywhere.
+
+The reference has no checkpoint/resume at all (SURVEY.md §5) — its target
+voxel map lives for one align.  The persistent scan-to-map odometry maps a
+drive once, saves the world map, and later sessions localize against it
+immediately — single-device or sharded, on any device count (the sharded
+checkpoint is mesh-size-independent: shards merge into one .npz and
+re-partition by ownership hash on load).  Bounded-memory eviction keeps
+unbounded drives from growing the map forever.
+"""
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import numpy as np
+
+from odometry_bench import _trajectory_scans
+from fast_gicp_tpu.models.scan_to_map import (
+    ScanToMapConfig,
+    ScanToMapOdometry,
+    load_map,
+)
+from fast_gicp_tpu.utils.downsample import voxel_downsample
+from fast_gicp_tpu.utils.kitti import ate_rmse
+
+
+def main():
+    rng = np.random.default_rng(3)
+    scans, gt = _trajectory_scans(rng, n_frames=12)
+    scans = [voxel_downsample(s, 0.25) for s in scans]
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 14)
+
+    # --- session 1: map the first part of the drive, checkpoint ---------
+    mapper = ScanToMapOdometry(cfg, covariance="knn")
+    for s in scans[:8]:
+        mapper.process(s)
+    path = os.path.join(tempfile.gettempdir(), "world_map.npz")
+    mapper.save(path)
+    nv = int(np.asarray(mapper.state.num_voxels))
+    print(f"mapped 8 frames -> {nv} voxels, checkpoint at {path}")
+
+    # --- session 2: resume from the checkpoint, keep driving ------------
+    resumed = ScanToMapOdometry(cfg, covariance="knn",
+                                initial_map=load_map(path))
+    # seed the pose chain where session 1 left off
+    resumed._poses_dev = list(mapper._poses_dev)
+    resumed._last_delta = mapper._last_delta
+    for s in scans[8:]:
+        resumed.process(s)
+    print(f"resumed session ATE vs ground truth: "
+          f"{ate_rmse(gt, resumed.poses):.3f} m")
+
+    # --- bounded-memory variant: eviction for unbounded drives ----------
+    bounded = ScanToMapOdometry(
+        cfg._replace(eviction_radius=40.0, evict_every=4),
+        covariance="knn",
+    )
+    for s in scans:
+        bounded.process(s)
+    _ = bounded.poses  # sync
+    nv_bounded = int(np.asarray(bounded.state.num_voxels))
+    print(f"eviction keeps the map bounded: {nv_bounded} voxels "
+          f"(radius 40 m of the pose) vs {nv} unbounded")
+
+    # --- sharded checkpoints restore on ANY mesh ------------------------
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import ShardedScanToMapOdometry
+
+    sharded = ShardedScanToMapOdometry(
+        cfg, mesh=make_mesh(), covariance="knn",
+        initial_map=load_map(path),  # the single-device checkpoint
+    )
+    sharded._poses_dev = [np.asarray(p) for p in mapper._poses_dev]
+    sharded._last_delta = np.asarray(mapper._last_delta)
+    sharded.process(scans[8])
+    print("single-device checkpoint restored onto the device mesh: pose\n",
+          np.asarray(sharded.poses[-1]).round(3))
+
+
+if __name__ == "__main__":
+    main()
