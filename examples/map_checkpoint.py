@@ -54,6 +54,15 @@ def main():
     print(f"resumed session ATE vs ground truth: "
           f"{ate_rmse(gt, resumed.poses):.3f} m")
 
+    # --- localization-only: frozen map, align from frame 0 --------------
+    loc = ScanToMapOdometry(cfg._replace(fuse_scans=False),
+                            covariance="knn", initial_map=load_map(path))
+    for s in scans[:8]:
+        loc.process(s)
+    print(f"localization mode (frozen map) ATE: "
+          f"{ate_rmse(gt[:8], loc.poses):.3f} m, map still "
+          f"{int(np.asarray(loc.state.num_voxels))} voxels")
+
     # --- bounded-memory variant: eviction for unbounded drives ----------
     bounded = ScanToMapOdometry(
         cfg._replace(eviction_radius=40.0, evict_every=4),

@@ -452,6 +452,11 @@ class ScanToMapConfig(NamedTuple):
     # enqueued device-side — no sync.
     eviction_radius: float = None
     evict_every: int = 64
+    # LOCALIZATION mode: False freezes the map (no fusion, no growth, no
+    # eviction) and aligns every frame — including the first — against the
+    # preloaded map (pass `initial_map=` from a checkpoint).  The
+    # map-then-localize half of the checkpoint workflow.
+    fuse_scans: bool = True
     lsq: LsqConfig = LsqConfig()
 
 
@@ -591,15 +596,16 @@ def _fused_frame_step(
         last_delta,
         se3.orthonormalize(se3.invert_transform(prev_pose) @ pose),
     )
-    world_pts = se3.transform_points(pose, pts)
-    world_cov9 = soa.sym_cols_to_rows9(
-        soa.rotate_sym_cols(pose[:3, :3], covs6)
-    )
-    fuse_mask = mask & ~rejected
-    state = update_map(
-        state, world_pts, world_cov9, fuse_mask,
-        new_cap=config.new_per_frame_capacity,
-    )
+    if config.fuse_scans:
+        world_pts = se3.transform_points(pose, pts)
+        world_cov9 = soa.sym_cols_to_rows9(
+            soa.rotate_sym_cols(pose[:3, :3], covs6)
+        )
+        fuse_mask = mask & ~rejected
+        state = update_map(
+            state, world_pts, world_cov9, fuse_mask,
+            new_cap=config.new_per_frame_capacity,
+        )
     return state, pose, new_delta, streak
 
 
@@ -659,6 +665,8 @@ class ScanToMapOdometry:
     def _maybe_grow(self) -> None:
         """Grow the map 2x when >70% full (checked every grow_check_every
         frames; the check synchronizes, so it is amortized)."""
+        if not self.config.fuse_scans:
+            return  # frozen map (localization mode): no growth, no eviction
         self._maybe_evict()
         self._frames_since_check += 1
         if self._frames_since_check < self.config.grow_check_every:
@@ -739,11 +747,14 @@ class ScanToMapOdometry:
         mask = jnp.asarray(mask_np)
         covs = self._covs(pts, mask)
 
-        if not self._poses_dev:
+        if not self._poses_dev and self.config.fuse_scans:
             pose = jnp.eye(4, dtype=jnp.float32)
             fuse_mask = mask
         else:
-            prev = self._poses_dev[-1]
+            # localization mode (fuse_scans=False) aligns from frame 0
+            # against the preloaded map; mapping mode from frame 1
+            prev = (self._poses_dev[-1] if self._poses_dev
+                    else jnp.eye(4, dtype=jnp.float32))
             guess = _compose(prev, self._last_delta)
             result = self._align(pts, mask, covs, guess)
             # Until a velocity estimate exists (frame 2), the prediction is
@@ -767,8 +778,9 @@ class ScanToMapOdometry:
                 rejected, self._last_delta, _relative(prev, pose)
             )
 
-        world_pts, world_covs = _to_world(pose, pts, covs)
-        self._fuse(world_pts, world_covs, fuse_mask)
+        if self.config.fuse_scans:
+            world_pts, world_covs = _to_world(pose, pts, covs)
+            self._fuse(world_pts, world_covs, fuse_mask)
         self._poses_dev.append(pose)
         self._maybe_grow()
         return pose
@@ -783,16 +795,19 @@ class ScanToMapOdometry:
         pts = jnp.asarray(padded)
         mask = jnp.asarray(mask_np)
 
-        if not self._poses_dev:
+        if not self._poses_dev and self.config.fuse_scans:
             pose = jnp.eye(4, dtype=jnp.float32)
             self.state = _fused_first_frame(
                 self.state, pts, mask, self.config, self.covariance
             )
         else:
+            # localization mode aligns from frame 0 (identity guess)
+            prev = (self._poses_dev[-1] if self._poses_dev
+                    else jnp.eye(4, dtype=jnp.float32))
             have_velocity = len(self._poses_dev) >= 2
             self.state, pose, self._last_delta, self._reject_streak = (
                 _fused_frame_step(
-                    self.state, self._poses_dev[-1], self._last_delta,
+                    self.state, prev, self._last_delta,
                     self._reject_streak, pts, mask,
                     self.config, self.covariance,
                     self.config.gate_translation if have_velocity else None,

@@ -687,6 +687,8 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
         """Grow every shard 2x when the fullest shard passes 70% (checked
         every grow_check_every frames; the fill read synchronizes, so it is
         amortized).  Growth is per-device-local — see grow_sharded_map."""
+        if not self.config.fuse_scans:
+            return  # frozen map (localization mode)
         self._maybe_evict()
         self._frames_since_check += 1
         if self._frames_since_check < self.config.grow_check_every:

@@ -489,3 +489,39 @@ def test_sharded_checkpoint_roundtrip(rng, tmp_path):
     # distribute partitions every voxel exactly once
     redist = distribute_map(mesh8, merged)
     assert int(np.asarray(redist.num_voxels).sum()) == nv_total
+
+
+def test_localization_mode_frozen_map(rng, tmp_path):
+    """fuse_scans=False: the map stays frozen (no fusion/growth/eviction),
+    every frame — including the FIRST — aligns against the preloaded map,
+    and the track matches the mapping run's."""
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry, load_map,
+    )
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from fast_gicp_tpu.utils.kitti import ate_rmse
+
+    scans, gt = _trajectory_scans(np.random.default_rng(5), n_frames=5)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+
+    mapper = ScanToMapOdometry(cfg, covariance="knn")
+    for s in scans:
+        mapper.process(s)
+    path = str(tmp_path / "frozen.npz")
+    mapper.save(path)
+    nv = int(np.asarray(mapper.state.num_voxels))
+    mass = float(np.asarray(mapper.state.sums[:, 0].sum()))
+
+    loc = ScanToMapOdometry(
+        cfg._replace(fuse_scans=False, eviction_radius=30.0, evict_every=1),
+        covariance="knn", initial_map=load_map(path),
+    )
+    for s in scans:  # re-drive the same trajectory against the frozen map
+        loc.process(s)
+    # frame 0 aligned too (not just seeded at identity): 5 scans -> 5 poses
+    assert len(loc.poses) == 5
+    assert ate_rmse(gt, loc.poses) < 0.05
+    # map untouched: same voxel count and mass, eviction config ignored
+    assert int(np.asarray(loc.state.num_voxels)) == nv
+    assert float(np.asarray(loc.state.sums[:, 0].sum())) == mass
