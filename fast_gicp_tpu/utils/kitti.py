@@ -112,7 +112,7 @@ def run_odometry_batched(
     # the boundary covariance) — a full KITTI sequence at once would need
     # O(F * N) HBM for points + covariances (~28 GB at 4500 frames).
     n_pairs = len(clouds) - 1
-    deltas = []
+    pending = []  # (device transforms, live pair count) per window
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (batch_size, 4, 4))
     for s in range(0, n_pairs, batch_size):
         e = min(s + batch_size, n_pairs)
@@ -127,10 +127,18 @@ def run_odometry_batched(
             pts[idx + 1], msk[idx + 1], cw[idx + 1],
             pts[idx], msk[idx], cw[idx], eye, config,
         )
-        deltas.append(np.asarray(res.transformation)[:b])
+        # Keep results ON DEVICE: forcing each window's transforms here
+        # would serialize host window prep against device compute (a full
+        # round trip per window on a remote runtime); one device_get at
+        # the end drains everything and lets uploads overlap solves.
+        pending.append((res.transformation, b))
 
+    fetched = jax.device_get([t for t, _ in pending])
+    deltas = np.concatenate(
+        [np.asarray(t)[:b] for t, (_, b) in zip(fetched, pending)], axis=0
+    )
     poses = [np.eye(4)]
-    for d in np.concatenate(deltas, axis=0):
+    for d in deltas:
         poses.append(poses[-1] @ np.asarray(d, np.float64))
     return poses
 
