@@ -56,6 +56,12 @@ from .models.pose_graph_sparse import (
     optimize_pose_graph_sparse_sharded,
 )
 from .models.metrics import fitness_score, pose_error
+from .models.scan_to_map import (
+    ScanToMapConfig,
+    ScanToMapOdometry,
+    load_map,
+    save_map,
+)
 
 __version__ = "0.1.0"
 
@@ -91,4 +97,8 @@ __all__ = [
     "optimize_pose_graph_sparse_sharded",
     "fitness_score",
     "pose_error",
+    "ScanToMapConfig",
+    "ScanToMapOdometry",
+    "save_map",
+    "load_map",
 ]
