@@ -80,7 +80,13 @@ def make_ndt_objective(
     n = src_means.shape[0]
     k = offsets.shape[0]
     P = soa.cols_from_points(src_means)  # (3, N)
-    C_A = None if src_covs is None else soa.sym_cols_from_covs(src_covs)
+    # source covariances arrive as (N, 3, 3) AoS or (6, N) sym columns
+    # (the SoA covariance pipeline's native format), like make_vgicp_objective
+    C_A = (
+        None if src_covs is None
+        else src_covs if (src_covs.ndim == 2 and src_covs.shape[0] == 6)
+        else soa.sym_cols_from_covs(src_covs)
+    )
     offs = offsets.T[:, :, None]  # (3, K, 1)
 
     def _psum(v):

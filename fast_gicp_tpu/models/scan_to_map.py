@@ -457,6 +457,11 @@ class ScanToMapConfig(NamedTuple):
     # preloaded map (pass `initial_map=` from a checkpoint).  The
     # map-then-localize half of the checkpoint workflow.
     fuse_scans: bool = True
+    # Registration objective against the map: "vgicp" (sqrt(n)-weighted
+    # frozen-Mahalanobis GICP, the default), or "ndt_d2d"/"ndt_p2d" —
+    # Cauchy-robust NDT weights (ndt_compute_derivatives.cu:15-18), which
+    # resist outliers/dynamic objects when localizing against a frozen map.
+    objective: str = "vgicp"
     lsq: LsqConfig = LsqConfig()
 
 
@@ -475,6 +480,25 @@ def align_to_map(
     offsets = jnp.asarray(
         neighbor_offsets(config.neighbor_search_method, config.neighbor_search_radius)
     )
+    if config.objective in ("ndt_d2d", "ndt_p2d"):
+        # Cauchy-robust NDT objective against the persistent Gaussian map
+        # (D2D consumes the scan covariances, P2D treats scan points as
+        # deltas); resists outliers/dynamic objects in localization mode.
+        from .ndt import NDTConfig, make_ndt_objective
+
+        ncfg = NDTConfig(
+            resolution=config.resolution,
+            distance_mode=config.objective[4:],
+            neighbor_search_method=config.neighbor_search_method,
+            neighbor_search_radius=config.neighbor_search_radius,
+            lsq=config.lsq,
+        )
+        lin, err = make_ndt_objective(
+            source, source_mask,
+            None if config.objective == "ndt_p2d" else source_covs,
+            vmap_, offsets, ncfg,
+        )
+        return lsq_solve(lin, err, guess.astype(source.dtype), config.lsq)
     from .vgicp import VGICPConfig, make_vgicp_objective
 
     vcfg = VGICPConfig(

@@ -629,6 +629,12 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
         covariance: str = "rbf",
         initial_map=None,
     ):
+        if config.objective != "vgicp":
+            raise ValueError(
+                "the sharded driver registers with the VGICP objective "
+                "only; NDT objectives are single-device "
+                "(ScanToMapOdometry)"
+            )
         super().__init__(config, covariance=covariance)
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.shape[self.mesh.axis_names[0]]

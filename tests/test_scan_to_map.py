@@ -525,3 +525,37 @@ def test_localization_mode_frozen_map(rng, tmp_path):
     # map untouched: same voxel count and mass, eviction config ignored
     assert int(np.asarray(loc.state.num_voxels)) == nv
     assert float(np.asarray(loc.state.sums[:, 0].sum())) == mass
+
+
+def test_ndt_objective_against_map(rng):
+    """objective="ndt_d2d"/"ndt_p2d": Cauchy-robust NDT registration
+    against the persistent map tracks the same trajectory as VGICP."""
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry,
+    )
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from fast_gicp_tpu.utils.kitti import ate_rmse
+
+    scans, gt = _trajectory_scans(np.random.default_rng(5), n_frames=4)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    # P2D ignores the scan's covariances (point-to-distribution), so it is
+    # an accuracy class below D2D — same relationship as the reference's
+    # P2D/D2D modes (ndt_compute_derivatives.cu)
+    for obj, tol in (("ndt_d2d", 0.08), ("ndt_p2d", 0.2)):
+        cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13, objective=obj)
+        odo = ScanToMapOdometry(cfg, covariance="knn")
+        for s in scans:
+            odo.process(s)
+        ate = ate_rmse(gt, odo.poses)
+        assert ate < tol, (obj, ate)
+
+    # the sharded driver is VGICP-only (routing packs Mahalanobis aux)
+    import pytest
+
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import ShardedScanToMapOdometry
+
+    with pytest.raises(ValueError):
+        ShardedScanToMapOdometry(
+            ScanToMapConfig(objective="ndt_d2d"), mesh=make_mesh(8)
+        )
