@@ -559,3 +559,27 @@ def test_ndt_objective_against_map(rng):
         ShardedScanToMapOdometry(
             ScanToMapConfig(objective="ndt_d2d"), mesh=make_mesh(8)
         )
+
+
+def test_degenerate_scan_frames(rng):
+    """Empty / 3-point dropout frames must not poison the track: the gate
+    falls back to the constant-velocity prediction (finite poses), the map
+    is not corrupted, and a normal frame recovers."""
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry,
+    )
+
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 12)
+    odo = ScanToMapOdometry(cfg, covariance="knn")
+    scan = rng.uniform(-10, 10, (2000, 3)).astype(np.float32)
+    scan[:, 2] = np.sin(scan[:, 0]) * 0.5
+    odo.process(scan)
+    odo.process(scan + np.float32([0.1, 0, 0]))
+    p_empty = odo.process(np.zeros((0, 3), np.float32))
+    assert np.isfinite(p_empty).all()
+    p_tiny = odo.process(scan[:3])
+    assert np.isfinite(p_tiny).all()
+    p_rec = odo.process(scan + np.float32([0.3, 0, 0]))
+    assert np.isfinite(p_rec).all()
+    assert len(odo.poses) == 5
+    assert np.isfinite(np.asarray(odo.state.sums)).all()
