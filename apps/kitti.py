@@ -99,26 +99,20 @@ def main(argv=None):
     elif args.mode == "scan":
         import numpy as np
 
-        from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+        from fast_gicp_tpu.ops.voxelmap import auto_grid_dims_multi
         from fast_gicp_tpu.utils.kitti import run_odometry_scan
 
-        sample = np.concatenate(
-            [scans[0], scans[len(scans) // 2], scans[-1]]
-        )
-        dims = auto_grid_dims(sample, args.resolution)
+        dims = auto_grid_dims_multi(scans, args.resolution)
         config = VGICPConfig(resolution=args.resolution, grid_dims=dims)
         poses = run_odometry_scan(scans, args.downsample, config=config)
     elif args.mode == "stream":
         import numpy as np
 
-        from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+        from fast_gicp_tpu.ops.voxelmap import auto_grid_dims_multi
 
-        # size the dense grid over front/middle/back frames, not frame 0
-        # alone (a sequence that opens up later would get clipped)
-        sample = np.concatenate(
-            [scans[0], scans[len(scans) // 2], scans[-1]]
-        )
-        dims = auto_grid_dims(sample, args.resolution)
+        # size the dense grid over the union of every frame's extent
+        # (a sequence that opens up later must not get clipped)
+        dims = auto_grid_dims_multi(scans, args.resolution)
         config = VGICPConfig(resolution=args.resolution, grid_dims=dims)
         poses = run_odometry_stream(scans, args.downsample, config=config)
     else:

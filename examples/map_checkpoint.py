@@ -44,11 +44,13 @@ def main():
     print(f"mapped 8 frames -> {nv} voxels, checkpoint at {path}")
 
     # --- session 2: resume from the checkpoint, keep driving ------------
+    # initial_pose seeds the frame-0 alignment guess where session 1 left
+    # off; with a non-empty checkpoint the driver aligns (never stamps)
+    # the first resumed scan.
     resumed = ScanToMapOdometry(cfg, covariance="knn",
-                                initial_map=load_map(path))
-    # seed the pose chain where session 1 left off
-    resumed._poses_dev = list(mapper._poses_dev)
-    resumed._last_delta = mapper._last_delta
+                                initial_map=load_map(path),
+                                initial_pose=mapper.poses[-1],
+                                initial_velocity=mapper.velocity)
     for s in scans[8:]:
         resumed.process(s)
     print(f"resumed session ATE vs ground truth: "
@@ -82,9 +84,9 @@ def main():
     sharded = ShardedScanToMapOdometry(
         cfg, mesh=make_mesh(), covariance="knn",
         initial_map=load_map(path),  # the single-device checkpoint
+        initial_pose=mapper.poses[-1],
+        initial_velocity=mapper.velocity,
     )
-    sharded._poses_dev = [np.asarray(p) for p in mapper._poses_dev]
-    sharded._last_delta = np.asarray(mapper._last_delta)
     sharded.process(scans[8])
     print("single-device checkpoint restored onto the device mesh: pose\n",
           np.asarray(sharded.poses[-1]).round(3))

@@ -109,10 +109,13 @@ def make_gicp_objective(
                 aux,
             )
 
+        P_pad = _pad8(P)
+
         def error(x, aux):
-            p_t = soa.transform_cols(x, P)
+            # untransformed source columns + the trial pose: the rigid
+            # transform runs inside the kernel (one launch per LM trial).
             return _psum(
-                pallas_linearize.error_pallas(_pad8(p_t), aux), axis_name
+                pallas_linearize.error_pallas(P_pad, aux, x), axis_name
             )
 
         return linearize, error

@@ -78,14 +78,6 @@ _edge_res_only = jax.vmap(
 )
 
 
-def _chol_inv6(A):
-    """Batched 6x6 SPD inverse via the unrolled Cholesky solve."""
-    eye = jnp.broadcast_to(jnp.eye(6, dtype=A.dtype), A.shape)
-    return jax.vmap(
-        lambda a, e: jax.vmap(lambda col: linalg3.cholesky_solve(a, col))(e)
-    )(A, eye)  # rows of result = solves of identity columns -> A^-1 (sym)
-
-
 def _solve6(A, B):
     """Solve A X = B for 6x6 SPD A; B (6,) or (6, m) (columns)."""
     if B.ndim == 1:
@@ -188,6 +180,11 @@ def _optimize_sparse(
         Hp = Jp.T @ WJp  # (6, 6)
         bp = WJp.T @ rp
         err = err + rp @ prior_info @ rp
+        # a non-finite linearization error would reject every LM trial
+        # (err_try < NaN is always False) and report converged=True on
+        # untouched poses; treat it as infinitely bad so any finite trial
+        # is accepted and the solver can recover
+        err = jnp.where(jnp.isfinite(err), err, jnp.float32(jnp.inf))
 
         b = _ps(
             jnp.zeros((k, 6), jnp.float32)
@@ -268,9 +265,13 @@ def _optimize_sparse(
                 alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
                 x = x + alpha * p
                 # periodic residual recomputation guards f32 drift over
-                # long CG runs
-                res = jnp.where(
-                    (i + 1) % 64 == 0, b - matvec(x), res - alpha * Ap
+                # long CG runs; lax.cond so the refresh matvec runs only
+                # on the 1-in-64 iterations that use it (jnp.where would
+                # evaluate it every step, doubling the CG cost)
+                res = jax.lax.cond(
+                    (i + 1) % 64 == 0,
+                    lambda x=x: b - matvec(x),
+                    lambda res=res, Ap=Ap: res - alpha * Ap,
                 )
                 z = precond(res)
                 rz_new = jnp.sum(res * z)
@@ -322,6 +323,8 @@ def _optimize_sparse(
     it, T, _lam, err, conv = jax.lax.while_loop(cond, gn_step, init)
     r = _edge_res_only(T[edge_i], T[edge_j], z_inv)
     err = _ps(jnp.einsum("ea,eab,eb->", r, edge_info, r))
+    # never report success on a non-finite objective (e.g. NaN inputs)
+    conv = conv & jnp.isfinite(err)
     return PoseGraphResult(poses=T, error=err, iterations=it, converged=conv)
 
 
@@ -495,8 +498,12 @@ class SlidingWindowBA:
         """Add a loop-closure edge between GLOBAL keyframe indices i, j
         (both must still be inside the window)."""
         np = self._np
-        if i < self.base or j < self.base:
-            raise ValueError("loop edge endpoints have left the window")
+        end = self.base + len(self.poses)
+        if not (self.base <= i < end and self.base <= j < end):
+            raise ValueError(
+                f"loop edge endpoints ({i}, {j}) outside the window "
+                f"[{self.base}, {end})"
+            )
         info = np.eye(6, dtype=np.float32) if info is None else np.asarray(
             info, np.float32
         )

@@ -635,7 +635,7 @@ def _fused_frame_step(
 
 @partial(jax.jit, static_argnames=("config", "covariance"), donate_argnums=(0,))
 @f32_matmuls
-def _fused_first_frame(state: MapState, pts, mask,
+def _fused_first_frame(state: MapState, pts, mask, pose,
                        config: ScanToMapConfig, covariance: str):
     from ..ops import soa
     from ..ops.covariance import knn_covariances, rbf_covariance_cols
@@ -644,9 +644,14 @@ def _fused_first_frame(state: MapState, pts, mask,
         covs6 = rbf_covariance_cols(pts, mask)
     else:
         covs6 = soa.sym_cols_from_covs(knn_covariances(pts, mask))
-    cov9 = soa.sym_cols_to_rows9(covs6)
+    # anchor the first scan at `pose` (identity for a fresh run; the resume
+    # pose when continuing a mapping session from a checkpoint)
+    world_pts = se3.transform_points(pose, pts)
+    cov9 = soa.sym_cols_to_rows9(
+        soa.rotate_sym_cols(pose[:3, :3], covs6)
+    )
     state = update_map(
-        state, pts, cov9, mask, new_cap=config.new_per_frame_capacity
+        state, world_pts, cov9, mask, new_cap=config.new_per_frame_capacity
     )
     return state
 
@@ -665,7 +670,8 @@ class ScanToMapOdometry:
 
     def __init__(self, config: ScanToMapConfig = ScanToMapConfig(),
                  covariance: str = "rbf", initial_map: MapState = None,
-                 bucket: int = None):
+                 bucket: int = None, initial_pose=None,
+                 initial_velocity=None):
         self.config = config
         self.covariance = covariance
         # initial_map: resume from a `save_map` checkpoint (map-then-localize
@@ -675,8 +681,28 @@ class ScanToMapOdometry:
             if initial_map is not None
             else empty_map(config.capacity, config.resolution)
         )
+        # initial_pose: where the sensor starts in the map frame — the
+        # alignment guess for frame 0 when resuming against a non-empty
+        # checkpoint, or where the first scan is anchored on a fresh map.
+        self._anchor = (
+            jnp.eye(4, dtype=jnp.float32) if initial_pose is None
+            else jnp.asarray(initial_pose, jnp.float32)
+        )
+        # Resuming MAPPING against a non-empty checkpoint must align frame 0
+        # before fusing it (stamping it in unaligned corrupts the map);
+        # only a genuinely empty map anchors frame 0 at `initial_pose`.
+        self._align_first_frame = (
+            initial_map is not None and int(initial_map.num_voxels) > 0
+        )
         self._poses_dev = []  # device-side (4, 4) f32 pose chain
-        self._last_delta = jnp.eye(4, dtype=jnp.float32)
+        # initial_velocity: the previous session's last frame-to-frame
+        # delta, so a resumed track starts with a constant-velocity guess
+        # (and active deviation gates) instead of a standstill prediction.
+        self._last_delta = (
+            jnp.eye(4, dtype=jnp.float32) if initial_velocity is None
+            else jnp.asarray(initial_velocity, jnp.float32)
+        )
+        self._resumed_velocity = initial_velocity is not None
         self._reject_streak = jnp.int32(0)
         self._frames_since_check = 0
         self._frames_since_evict = 0
@@ -688,7 +714,11 @@ class ScanToMapOdometry:
 
     def _maybe_grow(self) -> None:
         """Grow the map 2x when >70% full (checked every grow_check_every
-        frames; the check synchronizes, so it is amortized)."""
+        frames; the fill read synchronizes, so it is amortized).
+
+        One copy of the per-frame policy for both the single-device and
+        sharded drivers — the sharded subclass overrides only the
+        `_capacity/_max_capacity/_fill/_grow/_compact` primitives."""
         if not self.config.fuse_scans:
             return  # frozen map (localization mode): no growth, no eviction
         self._maybe_evict()
@@ -696,14 +726,22 @@ class ScanToMapOdometry:
         if self._frames_since_check < self.config.grow_check_every:
             return
         self._frames_since_check = 0
-        capacity = self.state.sums.shape[0]
-        if capacity >= self.config.max_capacity:
+        capacity = self._capacity()
+        max_capacity = self._max_capacity()
+        fill = self._fill()
+        if capacity >= max_capacity:
+            if (fill > 0.95 * capacity
+                    and not getattr(self, "_warned_full", False)):
+                self._warned_full = True
+                import warnings
+
+                warnings.warn(
+                    f"map at max capacity ({fill}/{capacity} voxels"
+                    f"{self._capacity_scope}); new voxels will be dropped"
+                )
             return
-        nv = int(jax.device_get(self.state.num_voxels))
-        if nv > 0.7 * capacity:
-            self.state = grow_map(
-                self.state, min(capacity * 2, self.config.max_capacity)
-            )
+        if fill > 0.7 * capacity:
+            self._grow(min(capacity * 2, max_capacity))
 
     def _maybe_evict(self) -> None:
         """Every evict_every frames, drop voxels beyond eviction_radius of
@@ -715,9 +753,28 @@ class ScanToMapOdometry:
             return
         self._frames_since_evict = 0
         center = self._poses_dev[-1][:3, 3]
-        self.state = compact_map(
-            self.state, center, jnp.float32(self.config.eviction_radius)
-        )
+        self._compact(center, jnp.float32(self.config.eviction_radius))
+
+    # --- capacity-policy primitives (overridden by the sharded driver) ---
+
+    _capacity_scope = ""  # sharded driver: " on the fullest shard"
+
+    def _capacity(self) -> int:
+        return self.state.sums.shape[0]
+
+    def _max_capacity(self) -> int:
+        return self.config.max_capacity
+
+    def _fill(self) -> int:
+        """Current voxel count (fullest shard's, in the sharded driver);
+        synchronizes."""
+        return int(jax.device_get(self.state.num_voxels))
+
+    def _grow(self, new_capacity: int) -> None:
+        self.state = grow_map(self.state, new_capacity)
+
+    def _compact(self, center, radius) -> None:
+        self.state = compact_map(self.state, center, radius)
 
     def _covs(self, points, mask):
         from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
@@ -735,6 +792,16 @@ class ScanToMapOdometry:
             np.asarray(p, dtype=np.float64)
             for p in jax.device_get(self._poses_dev)
         ]
+
+    @property
+    def velocity(self):
+        """The latest frame-to-frame delta (4x4 ndarray) — together with
+        `poses[-1]` and `save()`, the complete resume state: pass them as
+        `initial_velocity=`/`initial_pose=`/`initial_map=` to continue a
+        mapping session in a new process."""
+        import numpy as np
+
+        return np.asarray(jax.device_get(self._last_delta), dtype=np.float64)
 
     # Hooks overridden by the sharded driver (parallel/sharded_map.py) —
     # the sharded driver sets _fused_frames = False and takes the
@@ -771,21 +838,24 @@ class ScanToMapOdometry:
         mask = jnp.asarray(mask_np)
         covs = self._covs(pts, mask)
 
-        if not self._poses_dev and self.config.fuse_scans:
-            pose = jnp.eye(4, dtype=jnp.float32)
+        if (not self._poses_dev and self.config.fuse_scans
+                and not self._align_first_frame):
+            pose = self._anchor
             fuse_mask = mask
         else:
-            # localization mode (fuse_scans=False) aligns from frame 0
-            # against the preloaded map; mapping mode from frame 1
+            # localization mode (fuse_scans=False) and checkpoint-resumed
+            # mapping align from frame 0 against the preloaded map;
+            # fresh-map mode from frame 1
             prev = (self._poses_dev[-1] if self._poses_dev
-                    else jnp.eye(4, dtype=jnp.float32))
+                    else self._anchor)
             guess = _compose(prev, self._last_delta)
             result = self._align(pts, mask, covs, guess)
             # Until a velocity estimate exists (frame 2), the prediction is
             # identity and any real motion would trip the deviation gates —
             # but the liveness checks (converged, finite, error > 0) apply
             # from the first align.
-            have_velocity = len(self._poses_dev) >= 2
+            have_velocity = (len(self._poses_dev) >= 2
+                             or self._resumed_velocity)
             pose, rejected, self._reject_streak = _gate_pose(
                 result.transformation, guess, result.converged, result.error,
                 result.hessian,
@@ -819,16 +889,19 @@ class ScanToMapOdometry:
         pts = jnp.asarray(padded)
         mask = jnp.asarray(mask_np)
 
-        if not self._poses_dev and self.config.fuse_scans:
-            pose = jnp.eye(4, dtype=jnp.float32)
+        if (not self._poses_dev and self.config.fuse_scans
+                and not self._align_first_frame):
+            pose = self._anchor
             self.state = _fused_first_frame(
-                self.state, pts, mask, self.config, self.covariance
+                self.state, pts, mask, pose, self.config, self.covariance
             )
         else:
-            # localization mode aligns from frame 0 (identity guess)
+            # localization mode and checkpoint-resumed mapping align from
+            # frame 0 (guess = the resume pose / anchor)
             prev = (self._poses_dev[-1] if self._poses_dev
-                    else jnp.eye(4, dtype=jnp.float32))
-            have_velocity = len(self._poses_dev) >= 2
+                    else self._anchor)
+            have_velocity = (len(self._poses_dev) >= 2
+                             or self._resumed_velocity)
             self.state, pose, self._last_delta, self._reject_streak = (
                 _fused_frame_step(
                     self.state, prev, self._last_delta,

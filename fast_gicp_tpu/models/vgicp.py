@@ -88,7 +88,7 @@ def make_vgicp_objective(
     # (the SoA covariance pipeline's native format)
     C_A = (
         source_covs
-        if source_covs.ndim == 2
+        if (source_covs.ndim == 2 and source_covs.shape[0] == 6)
         else soa.sym_cols_from_covs(source_covs)
     )
     offs = offsets.T[:, :, None]  # (3, K, 1)

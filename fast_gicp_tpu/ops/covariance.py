@@ -200,7 +200,7 @@ def rbf_covariance_cols_vs(
 
     nq = query.shape[0]
     nt = target.shape[0]
-    if pallas_kernels.supported(nt) and nq % 1024 == 0:
+    if pallas_kernels.supported(nt) and nq % pallas_kernels._RQT == 0:
         m = pallas_kernels.rbf_cross_moments_centered_T(
             query, qmask, target, tmask, kernel_width, max_dist, center
         )

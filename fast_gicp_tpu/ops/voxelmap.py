@@ -689,6 +689,25 @@ def auto_grid_dims(
     return (int(dims[0]), int(dims[1]), int(dims[2]))
 
 
+def auto_grid_dims_multi(clouds, resolution: float, **kwargs):
+    """`auto_grid_dims` over the EXACT union of several clouds' extents.
+
+    Only per-cloud min/max rows are read, so this is cheap at any frame
+    count — unlike sampling a few frames, no mid-sequence scan with a
+    wider extent can end up seeing past the grid (out-of-grid voxels park
+    on the sentinel row and silently vanish from the map)."""
+    import numpy as np
+
+    rows = [
+        np.stack([c.min(axis=0), c.max(axis=0)])
+        for c in (np.asarray(c) for c in clouds)
+        if c.size
+    ]
+    if not rows:
+        return None
+    return auto_grid_dims(np.concatenate(rows), resolution, **kwargs)
+
+
 def neighbor_offsets(method: str, radius: float = 1.5):
     """Static offset list per search method (fast_vgicp_voxel.hpp:10-44;
     RADIUS = all integer offsets with ||o|| <= radius,

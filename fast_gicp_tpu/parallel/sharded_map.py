@@ -263,7 +263,7 @@ def grow_sharded_map(
     return run(state)
 
 
-@partial(jax.jit, static_argnames=("mesh",))
+@partial(jax.jit, static_argnames=("mesh",), donate_argnums=(1,))
 def compact_sharded_map(mesh, state: ShardedMapState, center, radius
                         ) -> ShardedMapState:
     """Evict voxels beyond `radius` of `center` on every shard.
@@ -628,6 +628,8 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
         mesh=None,
         covariance: str = "rbf",
         initial_map=None,
+        initial_pose=None,
+        initial_velocity=None,
     ):
         if config.objective != "vgicp":
             raise ValueError(
@@ -635,7 +637,9 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
                 "only; NDT objectives are single-device "
                 "(ScanToMapOdometry)"
             )
-        super().__init__(config, covariance=covariance)
+        super().__init__(config, covariance=covariance,
+                         initial_pose=initial_pose,
+                         initial_velocity=initial_velocity)
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.shape[self.mesh.axis_names[0]]
         # initial_map: resume from a checkpoint — either an already-sharded
@@ -657,6 +661,12 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
             self.state = initial_map
         else:
             self.state = distribute_map(self.mesh, initial_map)
+        # resumed mapping against a non-empty checkpoint aligns frame 0
+        # before fusing (base-class semantics; recomputed here because the
+        # base __init__ never saw the sharded initial_map)
+        self._align_first_frame = initial_map is not None and (
+            int(jax.device_get(jnp.sum(self.state.num_voxels))) > 0
+        )
 
     def save(self, path: str) -> None:
         """Checkpoint the sharded map as a mesh-size-independent single-map
@@ -675,46 +685,29 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
             self.mesh, self.state, world_pts, world_covs, fuse_mask
         )
 
-    def _maybe_evict(self) -> None:
+    # --- capacity-policy primitives (per-SHARD numbers; the grow/evict
+    # per-frame policy itself lives once in ScanToMapOdometry) ---
+
+    _capacity_scope = " on the fullest shard"
+
+    def _shards(self) -> int:
+        return self.mesh.shape[self.mesh.axis_names[0]]
+
+    def _capacity(self) -> int:
+        return self.state.sums.shape[0] // self._shards()
+
+    def _max_capacity(self) -> int:
+        return max(1, self.config.max_capacity // self._shards())
+
+    def _fill(self) -> int:
+        return int(jax.device_get(jnp.max(self.state.num_voxels)))
+
+    def _grow(self, new_capacity: int) -> None:
+        """Per-device-local 2x growth — see grow_sharded_map."""
+        self.state = grow_sharded_map(self.mesh, self.state, new_capacity)
+
+    def _compact(self, center, radius) -> None:
         """Per-shard eviction (compact_sharded_map); device-local, no
         collective, enqueued without a sync."""
-        if self.config.eviction_radius is None or not self._poses_dev:
-            return
-        self._frames_since_evict += 1
-        if self._frames_since_evict < self.config.evict_every:
-            return
-        self._frames_since_evict = 0
-        self.state = compact_sharded_map(
-            self.mesh, self.state, self._poses_dev[-1][:3, 3],
-            jnp.float32(self.config.eviction_radius),
-        )
-
-    def _maybe_grow(self) -> None:
-        """Grow every shard 2x when the fullest shard passes 70% (checked
-        every grow_check_every frames; the fill read synchronizes, so it is
-        amortized).  Growth is per-device-local — see grow_sharded_map."""
-        if not self.config.fuse_scans:
-            return  # frozen map (localization mode)
-        self._maybe_evict()
-        self._frames_since_check += 1
-        if self._frames_since_check < self.config.grow_check_every:
-            return
-        self._frames_since_check = 0
-        d = self.mesh.shape[self.mesh.axis_names[0]]
-        cap_local = self.state.sums.shape[0] // d
-        max_local = max(1, self.config.max_capacity // d)
-        nv = int(jax.device_get(jnp.max(self.state.num_voxels)))
-        if cap_local >= max_local:
-            if nv > 0.95 * cap_local and not getattr(self, "_warned_full", False):
-                self._warned_full = True
-                import warnings
-
-                warnings.warn(
-                    f"sharded map at max capacity ({nv}/{cap_local} voxels "
-                    "on the fullest shard); new voxels will be dropped"
-                )
-            return
-        if nv > 0.7 * cap_local:
-            self.state = grow_sharded_map(
-                self.mesh, self.state, min(cap_local * 2, max_local)
-            )
+        self.state = compact_sharded_map(self.mesh, self.state, center,
+                                         radius)

@@ -175,7 +175,7 @@ def run_odometry_stream(
 
     from ..models.vgicp import VGICPConfig, vgicp_align
     from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit
-    from ..ops.voxelmap import auto_grid_dims, device_downsample
+    from ..ops.voxelmap import auto_grid_dims_multi, device_downsample
     from .padding import bucket_size, pad_points
 
     config = config or VGICPConfig()
@@ -189,14 +189,10 @@ def run_odometry_stream(
         scans = list(scans)
         if len(scans) < 2:
             return [np.eye(4)] * len(scans)
-        # Grid sized over a front/middle/back sample of frames (+ the
-        # auto margin), so a sequence that opens up later doesn't get
-        # clipped to frame 0's extent (scans are sensor-frame, so extent
-        # tracks sensor range, not travel).
-        sample = np.concatenate(
-            [scans[0], scans[len(scans) // 2], scans[-1]]
-        )
-        ds_dims = auto_grid_dims(sample, downsample_resolution)
+        # Grid sized over the exact union of every frame's extent, so no
+        # mid-sequence scan can see beyond the grid (scans are
+        # sensor-frame, so extent tracks sensor range, not travel).
+        ds_dims = auto_grid_dims_multi(scans, downsample_resolution)
         if ds_dims is None:
             raise ValueError(
                 "on_device_downsample=True but the scene extent / resolution "
@@ -366,13 +362,13 @@ def run_odometry_scan(
         # than the hash map; auto-size from sampled frames (sensor-frame
         # extent tracks range, not travel).  Falls back to the hash map
         # (None) when the extent/resolution doesn't fit a dense grid.
-        from ..ops.voxelmap import auto_grid_dims
+        from ..ops.voxelmap import auto_grid_dims_multi
 
-        sample = np.concatenate(
-            [clouds[0], clouds[len(clouds) // 2], clouds[-1]]
-        )
+        # exact union of every frame's sensor-frame extent — sampling a
+        # few frames risks silently parking out-of-grid voxels on the
+        # sentinel row for any wider mid-sequence scan
         config = config._replace(
-            grid_dims=auto_grid_dims(sample, config.resolution)
+            grid_dims=auto_grid_dims_multi(clouds, config.resolution)
         )
     bucket = max(bucket_size(len(c)) for c in clouds)
     padded = [pad_points(c, bucket) for c in clouds]

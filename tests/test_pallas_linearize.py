@@ -181,3 +181,64 @@ def _assert_cov_close(out, x, mask):
     scale = np.abs(np.trace(c_ref[live], axis1=1, axis2=2) / 3).mean()
     err = np.abs(c_out - c_ref)[live].max()
     assert err < 0.05 * max(scale, 1.0), (err, scale)
+
+
+def test_fused_model_paths_interpret(rng, monkeypatch):
+    """Trace the MODEL-level fused closures (gicp.py / vgicp.py) with the
+    Pallas kernels forced on in interpret mode.
+
+    The fused branches only activate when `pallas_linearize.supported()`
+    is true (TPU + tile-aligned n), so the CPU suite normally never traces
+    them — a stale `error_pallas` call signature in gicp.py once survived
+    a green CI run that way.  This test pins the model<->kernel contract
+    (argument order, padding/layout conventions) on every backend, and
+    checks the fused solve lands on the same pose as the XLA path."""
+    from fast_gicp_tpu import se3
+    from fast_gicp_tpu.models import gicp, vgicp
+    from fast_gicp_tpu.ops import pallas_linearize
+
+    n = pallas_linearize._NT  # one grid step per kernel launch
+    base = rng.uniform(0.0, 12.0, (n, 3)).astype(np.float32)
+    base[:, 2] *= 0.25
+    x_true = se3.se3_exp(
+        jnp.asarray(np.float32([0.01, -0.02, 0.015, 0.08, -0.05, 0.03]))
+    )
+    target = jnp.asarray(base)
+    source = jnp.asarray(
+        (base - np.asarray(x_true[:3, 3]))
+        @ np.asarray(x_true[:3, :3])  # == R^-1 (p - t): exact inverse map
+    )
+    mask = jnp.ones(n, bool)
+    covs = jnp.broadcast_to(0.05 * jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+    guess = jnp.eye(4, dtype=jnp.float32)
+
+    def _solve_all():
+        poses = [
+            gicp.gicp_align(source, mask, covs, target, mask, covs, guess).transformation
+        ]
+        for grid_dims in ((24, 24, 16), None):  # raw dense grid + hash map
+            cfg = vgicp.VGICPConfig(resolution=0.5, grid_dims=grid_dims)
+            poses.append(
+                vgicp.vgicp_align(
+                    source, mask, covs, target, mask, covs, guess, cfg
+                ).transformation
+            )
+        return [np.asarray(p) for p in poses]
+
+    xla_poses = _solve_all()
+
+    monkeypatch.setattr(
+        pallas_linearize, "supported",
+        lambda m: m % pallas_linearize._NT == 0,
+    )
+    for name in ("linearize_pallas", "linearize_raw_pallas", "error_pallas"):
+        orig = getattr(pallas_linearize, name)
+        monkeypatch.setattr(
+            pallas_linearize, name,
+            (lambda o: lambda *a: o(*a, interpret=True))(orig),
+        )
+    fused_poses = _solve_all()
+
+    for x_f, x_x in zip(fused_poses, xla_poses):
+        np.testing.assert_allclose(x_f, np.asarray(x_true), atol=5e-3)
+        np.testing.assert_allclose(x_f, x_x, atol=1e-3)

@@ -308,3 +308,46 @@ def test_sharded_with_marginalization_prior(rng):
     )
     # the prior actually pulled pose 0 off the origin
     assert np.linalg.norm(np.asarray(sharded.poses)[0][:3, 3]) > 5e-3
+
+
+def test_nan_input_reports_not_converged(rng):
+    """A NaN pose must not come back converged=True: every LM trial is
+    rejected (err_try < NaN is False), which once read as 'converged with
+    the (untouched, garbage) input poses'."""
+    from fast_gicp_tpu.models.pose_graph_sparse import (
+        SparsePGConfig, optimize_pose_graph_sparse,
+    )
+
+    k = 5
+    gt = _chain(rng, k=k, step=np.float32([0, 0, 0.05, 0.8, 0.0, 0]))
+    i, j, rel = edges_from_odometry(gt)
+    poses = np.stack(gt).astype(np.float32)
+    poses[2, 0, 3] = np.nan
+    res = optimize_pose_graph_sparse(
+        jnp.asarray(poses), jnp.asarray(i), jnp.asarray(j),
+        jnp.asarray(np.stack(rel)), config=SparsePGConfig(max_iterations=5),
+    )
+    assert not bool(res.converged)
+
+
+def test_loop_edge_window_bounds(rng):
+    """add_loop_edge rejects endpoints outside [base, base+K): a stale or
+    future index would silently clamp-gather / drop-scatter inside jit."""
+    import pytest
+
+    from fast_gicp_tpu.models.pose_graph_sparse import (
+        SlidingWindowBA, SparsePGConfig,
+    )
+
+    gt = _chain(rng, k=12, step=np.float32([0, 0, 0.05, 0.8, 0.0, 0]))
+    _, _, rel = edges_from_odometry(gt)
+    ba = SlidingWindowBA(window=8, config=SparsePGConfig(max_iterations=3))
+    for r in rel:
+        ba.add_keyframe(r)
+    end = ba.base + len(ba.poses)
+    eye = np.eye(4, dtype=np.float32)
+    with pytest.raises(ValueError):
+        ba.add_loop_edge(ba.base - 1, end - 1, eye)  # marginalized out
+    with pytest.raises(ValueError):
+        ba.add_loop_edge(ba.base, end, eye)  # not yet added
+    ba.add_loop_edge(ba.base, end - 1, eye)  # boundary-inclusive OK

@@ -268,11 +268,11 @@ def test_map_save_load_roundtrip(tmp_path, rng):
     path = str(tmp_path / "map.npz")
     odo.save(path)
 
+    # the public resume API: (map checkpoint, last pose, last delta)
     resumed = ScanToMapOdometry(cfg, covariance="knn",
-                                initial_map=load_map(path))
-    # seed pose chain/velocity as the original had
-    resumed._poses_dev = list(odo._poses_dev)
-    resumed._last_delta = odo._last_delta
+                                initial_map=load_map(path),
+                                initial_pose=odo.poses[-1],
+                                initial_velocity=odo.velocity)
     p_orig = odo.process(scans[2])
     p_res = resumed.process(scans[2])
     np.testing.assert_allclose(p_res, p_orig, atol=1e-5)
@@ -465,22 +465,24 @@ def test_sharded_checkpoint_roundtrip(rng, tmp_path):
     assert int(np.asarray(ck.num_voxels)) == nv_total
 
     def _resume(resumed):
-        # re-materialize the seeded pose chain as fresh host-backed arrays
-        # (device arrays from the 8-device run carry that mesh's sharding)
-        resumed._poses_dev = [jnp.asarray(np.asarray(p))
-                              for p in odo._poses_dev]
-        resumed._last_delta = jnp.asarray(np.asarray(odo._last_delta))
         return resumed.process(scans[2])
 
     # load a fresh copy per resume: the fused frame step DONATES the map
     # state, so a single loaded MapState cannot back several odometries
+    pose0, vel0 = odo.poses[-1], odo.velocity
     p_single = _resume(ScanToMapOdometry(cfg, covariance="knn",
-                                         initial_map=load_map(path)))
+                                         initial_map=load_map(path),
+                                         initial_pose=pose0,
+                                         initial_velocity=vel0))
     p_8 = _resume(ShardedScanToMapOdometry(cfg, mesh=mesh8, covariance="knn",
-                                           initial_map=load_map(path)))
+                                           initial_map=load_map(path),
+                                           initial_pose=pose0,
+                                           initial_velocity=vel0))
     p_2 = _resume(ShardedScanToMapOdometry(cfg, mesh=make_mesh(2),
                                            covariance="knn",
-                                           initial_map=load_map(path)))
+                                           initial_map=load_map(path),
+                                           initial_pose=pose0,
+                                           initial_velocity=vel0))
     p_orig = odo.process(scans[2])
     np.testing.assert_allclose(p_single, p_orig, atol=5e-3)
     np.testing.assert_allclose(p_8, p_orig, atol=5e-3)
@@ -583,3 +585,64 @@ def test_degenerate_scan_frames(rng):
     assert np.isfinite(p_rec).all()
     assert len(odo.poses) == 5
     assert np.isfinite(np.asarray(odo.state.sums)).all()
+
+
+def test_initial_pose_anchors_fresh_map(rng):
+    """On an EMPTY map, frame 0 is stamped at `initial_pose` (not identity):
+    the map is built in the anchored world frame and the pose chain starts
+    there."""
+    from fast_gicp_tpu import se3
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry,
+    )
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+
+    scans, _ = _trajectory_scans(np.random.default_rng(11), n_frames=2)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    anchor = np.asarray(
+        se3.se3_exp(jnp.asarray(np.float32([0, 0, 0.3, 5.0, -2.0, 0.5]))),
+        np.float64,
+    )
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+    odo = ScanToMapOdometry(cfg, covariance="knn", initial_pose=anchor)
+    p0 = odo.process(scans[0])
+    np.testing.assert_allclose(p0, anchor, atol=1e-6)
+    # the fused map actually lives at the anchor: frame 1 aligns to a pose
+    # near anchor (it moved ~0.4 m along the trajectory), not near identity
+    p1 = odo.process(scans[1])
+    assert np.linalg.norm(p1[:3, 3] - anchor[:3, 3]) < 1.0
+    assert np.linalg.norm(p1[:3, 3]) > 1.0  # nowhere near the origin
+
+
+def test_resume_mapping_aligns_first_frame(tmp_path, rng):
+    """Resuming MAPPING (fuse_scans=True) against a non-empty checkpoint
+    ALIGNS frame 0 instead of stamping it at the anchor: even with a
+    slightly-off initial_pose the estimated pose snaps to the truth and
+    the map is not corrupted."""
+    from fast_gicp_tpu import se3
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry, load_map,
+    )
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+
+    scans, gt = _trajectory_scans(np.random.default_rng(12), n_frames=4)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+    odo = ScanToMapOdometry(cfg, covariance="knn")
+    for s in scans[:3]:
+        odo.process(s)
+    path = str(tmp_path / "map.npz")
+    odo.save(path)
+    p_truth = odo.process(scans[3])
+
+    # perturb the resume pose ~10 cm: the align must absorb it
+    off = np.asarray(
+        se3.se3_exp(jnp.asarray(np.float32([0.01, 0, 0, 0.08, -0.05, 0.02]))),
+        np.float64,
+    )
+    resumed = ScanToMapOdometry(cfg, covariance="knn",
+                                initial_map=load_map(path),
+                                initial_pose=odo.poses[-1] @ off)
+    p_res = resumed.process(scans[3])
+    err = np.linalg.norm(p_res[:3, 3] - p_truth[:3, 3])
+    assert err < 0.02, err  # aligned, not stamped at the perturbed anchor

@@ -178,6 +178,27 @@ def test_auto_grid_dims(rng):
     assert auto_grid_dims(pts, 0.001) is None  # too many cells -> hash
 
 
+def test_auto_grid_dims_multi(rng):
+    """Union-of-extents sizing covers EVERY frame — including a wide
+    mid-sequence outlier that front/middle/back sampling would miss."""
+    from fast_gicp_tpu.ops.voxelmap import auto_grid_dims, auto_grid_dims_multi
+
+    narrow = (rng.uniform(size=(60, 3)) * 20 - 10).astype(np.float32)
+    wide = (rng.uniform(size=(60, 3)) * 120 - 60).astype(np.float32)
+    clouds = [narrow, narrow + 0.1, wide, narrow - 0.1, narrow]
+    dims = auto_grid_dims_multi(clouds, 1.0)
+    # identical to sizing over the full concatenation (exact union)
+    assert dims == auto_grid_dims(np.concatenate(clouds), 1.0)
+    # and strictly wider than the narrow-frames-only grid
+    narrow_dims = auto_grid_dims(narrow, 1.0)
+    assert any(d > nd for d, nd in zip(dims, narrow_dims))
+    # empty frames are skipped; all-empty -> None (hash-map fallback)
+    assert auto_grid_dims_multi(
+        [np.zeros((0, 3), np.float32), narrow], 1.0
+    ) == auto_grid_dims(narrow, 1.0)
+    assert auto_grid_dims_multi([np.zeros((0, 3), np.float32)], 1.0) is None
+
+
 def test_vgicp_grid_matches_hash_alignment(rng):
     """End-to-end VGICP: dense-grid config reproduces the hash-map pose."""
     from fast_gicp_tpu.models.vgicp import VGICPConfig, vgicp_align

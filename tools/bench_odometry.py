@@ -95,7 +95,7 @@ def main(n_frames=512, downsample=0.25, out="BENCH_ODOMETRY.json"):
     # align.cpp:30-36 filters before timing).
     import jax.numpy as jnp
 
-    from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+    from fast_gicp_tpu.ops.voxelmap import auto_grid_dims_multi
     from fast_gicp_tpu.utils.kitti import _get_odometry_scan
     from fast_gicp_tpu.utils.padding import bucket_size, pad_points
 
@@ -103,9 +103,7 @@ def main(n_frames=512, downsample=0.25, out="BENCH_ODOMETRY.json"):
     padded = [pad_points(c, bucket) for c in clouds]
     pts = jnp.asarray(np.stack([p for p, _ in padded]))
     msk = jnp.asarray(np.stack([m for _, m in padded]))
-    dims = auto_grid_dims(
-        np.concatenate([clouds[0], clouds[len(clouds) // 2], clouds[-1]]), 1.0
-    )
+    dims = auto_grid_dims_multi(clouds, 1.0)
     dev_cfg = cfg._replace(grid_dims=dims)
     scan_fn = _get_odometry_scan()
     deltas = scan_fn(pts, msk, dev_cfg, True)
