@@ -53,8 +53,10 @@ def main():
                                 initial_velocity=mapper.velocity)
     for s in scans[8:]:
         resumed.process(s)
+    # resumed.poses holds only THIS session's frames (8..11) — compare
+    # against the matching ground-truth slice
     print(f"resumed session ATE vs ground truth: "
-          f"{ate_rmse(gt, resumed.poses):.3f} m")
+          f"{ate_rmse(gt[8:], resumed.poses):.3f} m")
 
     # --- localization-only: frozen map, align from frame 0 --------------
     loc = ScanToMapOdometry(cfg._replace(fuse_scans=False),

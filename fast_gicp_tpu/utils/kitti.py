@@ -58,6 +58,7 @@ def run_odometry_batched(
     batch_size: int = 16,
     covariance: str = "rbf",
     config=None,
+    rescue: bool = True,
 ) -> List[np.ndarray]:
     """Throughput-mode scan-to-scan odometry: batched VGICP over pairs.
 
@@ -76,8 +77,11 @@ def run_odometry_batched(
     pathological pair taxes the whole batch by (its iterations - median).
     Without warm starts the useful iteration budget from an identity guess
     is ~10-15; the default config therefore caps the batch solve at 24
-    outer iterations (a pair that hasn't converged by then essentially
-    never does) — pass an explicit `config` to override.
+    outer iterations — pass an explicit `config` to override.  Pairs still
+    unconverged at the cap are NOT silently chained: their convergence
+    flags ride the same end-of-run device_get as the transforms (no extra
+    sync), and each straggler is re-solved alone with a 4x iteration
+    budget, warm-started from its capped pose (`rescue=False` disables).
     """
     import jax
     import jax.numpy as jnp
@@ -131,12 +135,43 @@ def run_odometry_batched(
         # would serialize host window prep against device compute (a full
         # round trip per window on a remote runtime); one device_get at
         # the end drains everything and lets uploads overlap solves.
-        pending.append((res.transformation, b))
+        pending.append((res.transformation, res.converged, b))
 
-    fetched = jax.device_get([t for t, _ in pending])
+    fetched = jax.device_get([(t, c) for t, c, _ in pending])
     deltas = np.concatenate(
-        [np.asarray(t)[:b] for t, (_, b) in zip(fetched, pending)], axis=0
+        [np.asarray(t)[:b] for (t, _), (_, _, b) in zip(fetched, pending)],
+        axis=0,
     )
+    conv = np.concatenate(
+        [np.asarray(c)[:b] for (_, c), (_, _, b) in zip(fetched, pending)],
+        axis=0,
+    )
+
+    if rescue and not conv.all():
+        # Re-solve the (rare) pairs the capped batch left unconverged, one
+        # at a time with a 4x iteration budget, warm-started from the
+        # capped pose.  Flags rode the drain above, so this costs nothing
+        # when every pair converged.
+        from ..models.vgicp import vgicp_align
+
+        rescue_cfg = config._replace(
+            lsq=config.lsq._replace(
+                max_iterations=4 * config.lsq.max_iterations
+            )
+        )
+        for i in np.flatnonzero(~conv):
+            sp, sm = pad_points(clouds[i + 1], bucket)
+            tp, tm = pad_points(clouds[i], bucket)
+            sp, sm = jnp.asarray(sp), jnp.asarray(sm)
+            tp, tm = jnp.asarray(tp), jnp.asarray(tm)
+            sc = cov_fn(sp[None], sm[None])[0]
+            tc = cov_fn(tp[None], tm[None])[0]
+            r = vgicp_align(
+                sp, sm, sc, tp, tm, tc,
+                jnp.asarray(deltas[i], jnp.float32), rescue_cfg,
+            )
+            deltas[i] = np.asarray(jax.device_get(r.transformation))
+
     poses = [np.eye(4)]
     for d in deltas:
         poses.append(poses[-1] @ np.asarray(d, np.float64))

@@ -77,6 +77,44 @@ def test_batched_odometry_matches_serial(synthetic_traj):
     assert ate_rmse(gt_poses, poses) < 0.05
 
 
+def test_batched_straggler_rescue(synthetic_traj):
+    """A pair the capped batch solve leaves unconverged is re-solved alone
+    (full budget, warm start) instead of being chained into the trajectory.
+
+    With large per-frame motion (1.2 m + 4.5 deg from an identity guess)
+    and the cap starved to 2 iterations every pair is a straggler, so the
+    un-rescued trajectory visibly drifts while the rescued one matches the
+    ground truth at the usual tolerance."""
+    rng = np.random.default_rng(7)
+    world = _world(rng)
+    scans, gt_poses = [], []
+    T = np.eye(4)
+    step = np.asarray(se3.se3_exp(jnp.asarray(
+        np.float32([0, 0, 0.08, 1.2, 0.1, 0]))))
+    for _ in range(5):
+        gt_poses.append(T.copy())
+        R, t = T[:3, :3], T[:3, 3]
+        local = (world - t) @ R
+        sel = rng.random(len(local)) < 0.7
+        scans.append((local[sel] + 0.01 * rng.standard_normal(
+            (sel.sum(), 3))).astype(np.float32))
+        T = T @ step
+    cfg = VGICPConfig(
+        resolution=1.0, neighbor_search_method="direct7",
+        lsq=LsqConfig(max_iterations=2),
+    )
+    capped = run_odometry_batched(
+        scans, downsample_resolution=0.2, batch_size=3, config=cfg,
+        rescue=False,
+    )
+    rescued = run_odometry_batched(
+        scans, downsample_resolution=0.2, batch_size=3, config=cfg,
+        rescue=True,
+    )
+    assert ate_rmse(gt_poses, capped) > 0.05  # starved cap really did fail
+    assert ate_rmse(gt_poses, rescued) < 0.05
+
+
 def test_save_poses_kitti(tmp_path, synthetic_traj):
     scans, gt_poses = synthetic_traj
     path = tmp_path / "traj.txt"
