@@ -60,6 +60,7 @@ from .models.scan_to_map import (
     ScanToMapConfig,
     ScanToMapOdometry,
     load_map,
+    merge_maps,
     save_map,
 )
 
@@ -101,4 +102,5 @@ __all__ = [
     "ScanToMapOdometry",
     "save_map",
     "load_map",
+    "merge_maps",
 ]

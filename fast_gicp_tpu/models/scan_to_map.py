@@ -147,6 +147,62 @@ def map_from_voxels(sums, coords, resolution: float,
     )
 
 
+def merge_maps(a: MapState, b: MapState, transform_b=None,
+               capacity: int = None) -> MapState:
+    """Merge two persistent maps into one — multi-session map stitching.
+
+    Both maps must share a resolution.  `transform_b` (4x4, b's frame ->
+    a's frame) first moves map b rigidly: the additive accumulators
+    [count, sum p, sum C] transform in closed form (count unchanged,
+    sum p -> R sum p + count*t, sum C -> R sum C R^T) and each voxel
+    re-bins at its transformed MEAN — the standard whole-voxel
+    re-voxelization approximation (exact when the transform is a lattice
+    translation; otherwise boundary points may land one cell off).  Rows
+    landing in the same cell sum their accumulators, exactly as if both
+    sessions' scans had been fused into one map.
+
+    Host-side numpy: merging is an offline operation (two checkpoints in,
+    one out), not a per-frame path.  No reference analogue — the
+    reference's target map lives for a single align (SURVEY.md §5).
+    """
+    import numpy as np
+
+    res_a = float(np.asarray(a.resolution))
+    res_b = float(np.asarray(b.resolution))
+    if abs(res_a - res_b) > 1e-6 * max(res_a, res_b):
+        raise ValueError(
+            f"cannot merge maps with different resolutions "
+            f"({res_a} vs {res_b})"
+        )
+    na = int(np.asarray(a.num_voxels))
+    nb = int(np.asarray(b.num_voxels))
+    rows_a = np.asarray(a.sums)[:na]
+    coords_a = np.asarray(a.coords)[:na]
+    rows_b = np.asarray(b.sums)[:nb].astype(np.float64)
+    coords_b = np.asarray(b.coords)[:nb]
+    if transform_b is not None and nb:
+        T = np.asarray(transform_b, np.float64)
+        R, t = T[:3, :3], T[:3, 3]
+        cnt = rows_b[:, :1]
+        sp = rows_b[:, 1:4] @ R.T + cnt * t
+        sc = np.einsum(
+            "ij,njk,lk->nil", R, rows_b[:, 4:13].reshape(-1, 3, 3), R
+        ).reshape(-1, 9)
+        rows_b = np.concatenate([cnt, sp, sc], axis=1)
+        mean = sp / np.maximum(cnt, 1e-9)
+        coords_b = np.floor(mean / res_a - 0.5).astype(np.int32)
+    coords = np.concatenate([coords_a, coords_b.astype(np.int32)])
+    rows = np.concatenate([rows_a.astype(np.float64), rows_b])
+    uniq, inv = np.unique(coords, axis=0, return_inverse=True)
+    inv = np.asarray(inv).reshape(-1)
+    merged = np.zeros((len(uniq), 13), np.float64)
+    np.add.at(merged, inv, rows)
+    return map_from_voxels(
+        merged.astype(np.float32), uniq.astype(np.int32), res_a,
+        capacity=capacity,
+    )
+
+
 def grow_map(state: MapState, new_capacity: int) -> MapState:
     """Migrate the map into a larger allocation (one-time O(new_capacity)).
 

@@ -9,6 +9,7 @@ from fast_gicp_tpu.models.scan_to_map import (
     ScanToMapOdometry,
     empty_map,
     map_as_voxelmap,
+    merge_maps,
     update_map,
 )
 from fast_gicp_tpu.ops.voxelmap import lookup_voxels, voxel_coord
@@ -646,3 +647,105 @@ def test_resume_mapping_aligns_first_frame(tmp_path, rng):
     p_res = resumed.process(scans[3])
     err = np.linalg.norm(p_res[:3, 3] - p_truth[:3, 3])
     assert err < 0.02, err  # aligned, not stamped at the perturbed anchor
+
+
+def _live_rows(state):
+    n = int(np.asarray(state.num_voxels))
+    coords = np.asarray(state.coords)[:n]
+    sums = np.asarray(state.sums)[:n]
+    order = np.lexsort(coords.T)
+    return coords[order], sums[order]
+
+
+def test_merge_maps_matches_joint_build(rng):
+    """merge_maps(A, B) == the map built by fusing both point sets into one
+    session: identical live voxel set, identical additive accumulators."""
+    p1 = jnp.asarray((rng.random((256, 3)) * 12).astype(np.float32))
+    p2 = jnp.asarray((rng.random((256, 3)) * 12 + 6).astype(np.float32))
+    m = jnp.ones(256, bool)
+    c = _identity_covs(256)
+
+    map_a = update_map(empty_map(1024, 1.0), p1, c, m)
+    map_b = update_map(empty_map(1024, 1.0), p2, c, m)
+    joint = update_map(update_map(empty_map(2048, 1.0), p1, c, m), p2, c, m)
+
+    merged = merge_maps(map_a, map_b)
+    ca, sa = _live_rows(merged)
+    cj, sj = _live_rows(joint)
+    np.testing.assert_array_equal(ca, cj)
+    np.testing.assert_allclose(sa, sj, rtol=1e-5, atol=1e-5)
+
+
+def test_merge_maps_lattice_translation_exact(rng):
+    """A transform_b that is an exact voxel-lattice translation re-bins
+    every voxel onto the shifted cell: merging b (built in its own frame)
+    with that transform equals the joint build in a's frame."""
+    shift = np.float32([4.0, -3.0, 2.0])  # integer multiples of res=1.0
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = shift
+
+    p1 = jnp.asarray((rng.random((200, 3)) * 10).astype(np.float32))
+    p2_world = (rng.random((200, 3)) * 10 + 3).astype(np.float32)
+    m = jnp.ones(200, bool)
+    c = _identity_covs(200)
+
+    map_a = update_map(empty_map(1024, 1.0), p1, c, m)
+    # b maps the same physical points expressed in ITS frame (world - shift)
+    map_b = update_map(
+        empty_map(1024, 1.0), jnp.asarray(p2_world - shift), c, m
+    )
+    joint = update_map(
+        update_map(empty_map(2048, 1.0), p1, c, m),
+        jnp.asarray(p2_world), c, m,
+    )
+
+    merged = merge_maps(map_a, map_b, transform_b=T)
+    ca, sa = _live_rows(merged)
+    cj, sj = _live_rows(joint)
+    np.testing.assert_array_equal(ca, cj)
+    np.testing.assert_allclose(sa, sj, rtol=1e-4, atol=1e-4)
+
+
+def test_merge_maps_rotation_conserves_mass(rng):
+    """A general SE(3) transform_b preserves total point count and maps
+    every voxel mean exactly (re-binning moves cells, never mass)."""
+    from fast_gicp_tpu import se3
+
+    T = np.asarray(se3.se3_exp(jnp.asarray(
+        np.float32([0, 0, 0.4, 2.0, -1.0, 0.5]))), np.float64)
+
+    pts = (rng.random((300, 3)) * 10).astype(np.float32)
+    m = jnp.ones(300, bool)
+    c = _identity_covs(300)
+    map_b = update_map(empty_map(1024, 1.0), jnp.asarray(pts), c, m)
+
+    empty_a = empty_map(256, 1.0)
+    merged = merge_maps(empty_a, map_b, transform_b=T)
+
+    nb = int(np.asarray(map_b.num_voxels))
+    sums_b = np.asarray(map_b.sums)[:nb].astype(np.float64)
+    _, sums_m = _live_rows(merged)
+    sums_m = sums_m.astype(np.float64)
+    # re-binning can merge voxels (cells colliding after rotation) but
+    # never create or destroy mass: check the aggregate accumulators,
+    # which transform in closed form regardless of collisions
+    assert sums_m[:, 0].sum() == sums_b[:, 0].sum()  # count conserved
+    R, t = T[:3, :3], T[:3, 3]
+    np.testing.assert_allclose(
+        sums_m[:, 1:4].sum(0),
+        sums_b[:, 1:4].sum(0) @ R.T + sums_b[:, 0].sum() * t,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        sums_m[:, 4:13].reshape(-1, 3, 3).sum(0),
+        R @ sums_b[:, 4:13].reshape(-1, 3, 3).sum(0) @ R.T,
+        rtol=1e-5, atol=1e-6,
+    )
+    assert len(sums_m) <= nb  # collisions only ever reduce the voxel count
+
+
+def test_merge_maps_resolution_mismatch_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge_maps(empty_map(64, 1.0), empty_map(64, 0.5))
