@@ -93,6 +93,30 @@ def main():
     print("single-device checkpoint restored onto the device mesh: pose\n",
           np.asarray(sharded.poses[-1]).round(3))
 
+    # --- multi-session stitching: merge two sessions' maps --------------
+    # Session B drives frames 7..11 as its OWN fresh run, with its FIRST
+    # frame (the overlap frame shared with session 1) anchored at that
+    # frame's known pose; merge_maps fuses its map with session 1's
+    # checkpoint into one world map (co-located voxels sum their
+    # accumulators).
+    from fast_gicp_tpu.models.scan_to_map import merge_maps
+
+    session_b = ScanToMapOdometry(cfg, covariance="knn",
+                                  initial_pose=mapper.poses[-1],
+                                  initial_velocity=mapper.velocity)
+    for s in scans[7:]:
+        session_b.process(s)
+    merged = merge_maps(load_map(path), session_b.state)
+    # read the count BEFORE localizing: the fused frame step donates the
+    # map state, so `merged`'s buffers belong to loc2 once it processes
+    n_merged = int(np.asarray(merged.num_voxels))
+    loc2 = ScanToMapOdometry(cfg._replace(fuse_scans=False),
+                             covariance="knn", initial_map=merged)
+    for s in scans:
+        loc2.process(s)
+    print(f"stitched map: {n_merged} voxels; "
+          f"full-drive localization ATE {ate_rmse(gt, loc2.poses):.3f} m")
+
 
 if __name__ == "__main__":
     main()
