@@ -242,17 +242,30 @@ int voxel_downsample_mt(const float* points, int n, float resolution,
   }
   for (auto& th : threads) th.join();
 
+  // Emit centroids in voxel-key lexicographic order: deterministic across
+  // thread counts and matching the numpy path's np.unique(key) ordering
+  // (key-sorted clouds measurably speed up the TPU gather paths — see
+  // "Sort PCL-compatible downsample output by voxel key" in the repo log).
+  std::vector<std::pair<Key, const std::pair<std::array<double, 3>, int>*>>
+      cells_sorted;
+  size_t total = 0;
+  for (const auto& cells : shards) total += cells.size();
+  cells_sorted.reserve(total);
+  for (const auto& cells : shards)
+    for (const auto& kv : cells) cells_sorted.push_back({kv.first, &kv.second});
+  std::sort(cells_sorted.begin(), cells_sorted.end(),
+            [](const auto& a, const auto& b) {
+              if (a.first.x != b.first.x) return a.first.x < b.first.x;
+              if (a.first.y != b.first.y) return a.first.y < b.first.y;
+              return a.first.z < b.first.z;
+            });
   int m = 0;
-  for (const auto& cells : shards) {
-    for (const auto& kv : cells) {
-      out_points[3 * size_t(m) + 0] =
-          float(kv.second.first[0] / kv.second.second);
-      out_points[3 * size_t(m) + 1] =
-          float(kv.second.first[1] / kv.second.second);
-      out_points[3 * size_t(m) + 2] =
-          float(kv.second.first[2] / kv.second.second);
-      m++;
-    }
+  for (const auto& kc : cells_sorted) {
+    const auto& cell = *kc.second;
+    out_points[3 * size_t(m) + 0] = float(cell.first[0] / cell.second);
+    out_points[3 * size_t(m) + 1] = float(cell.first[1] / cell.second);
+    out_points[3 * size_t(m) + 2] = float(cell.first[2] / cell.second);
+    m++;
   }
   return m;
 }

@@ -34,16 +34,20 @@ def test_kdtree_self_query_includes_self(rng):
     np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-6)
 
 
-def test_native_downsample_matches_numpy(rng):
-    from fast_gicp_tpu.utils.downsample import voxel_downsample as np_ds
+def test_native_downsample_matches_numpy(rng, monkeypatch):
+    """The C++ filter is BITWISE identical to the pure-numpy path: same
+    floor(p/res) convention, f64 accumulation in point order, and
+    voxel-key-sorted output (the dispatch in utils/downsample relies on
+    this being a pure speedup)."""
+    from fast_gicp_tpu.utils import downsample
 
     pts = rng.random((5000, 3)).astype(np.float32) * 30
     a = native.voxel_downsample(pts, 0.7)
-    b = np_ds(pts, 0.7)
-    assert len(a) == len(b)
-    a_sorted = a[np.lexsort(a.T)]
-    b_sorted = b[np.lexsort(b.T)]
-    np.testing.assert_allclose(a_sorted, b_sorted, atol=1e-4)
+    # force the numpy reference path (voxel_downsample itself dispatches
+    # to the native build when available)
+    monkeypatch.setattr(native, "available", lambda: False)
+    b = downsample.voxel_downsample(pts, 0.7)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_load_kitti_bin_native(tmp_path, rng):
