@@ -483,19 +483,33 @@ def align_to_sharded_map_partitioned(
                 axis=1,
             )  # (K*nl, 16)
 
-            # Overflow/parked slots resolve to the appended all-zero row
-            # (valid flag 0).  NEVER mask these rows with a float multiply:
-            # columns 0..2 are BITCAST int32 coords whose small-integer bit
-            # patterns are denormal/NaN floats — `* 1.0` flushes/
-            # canonicalizes them and silently corrupts the coordinates.
-            padded_rows = jnp.concatenate(
-                [rows, jnp.zeros((1, 16), jnp.float32)]
+            # Single-pass bucket compaction: ONE argsort by owner, then a
+            # rank-within-bucket scatter.  A per-destination nonzero scan
+            # (D passes over all K*nl rows) costs O(K*N) flops per device
+            # REGARDLESS of D — measured capping the replicated/partitioned
+            # per-device flops ratio at ~2.8x on the 8-way mesh; the sort
+            # keeps routing O((K*N/D) log) so per-device work actually
+            # shrinks with the mesh.  Invalid rows park at key d and
+            # overflow (rank >= cap) lands on a trash row sliced off below.
+            # NEVER mask packed rows with a float multiply: columns 0..2
+            # are BITCAST int32 coords whose small-integer bit patterns are
+            # denormal/NaN floats — `* 1.0` flushes/canonicalizes them and
+            # silently corrupts the coordinates (row gathers are safe).
+            owner_key = jnp.where(validq, owner, d)
+            order = jnp.argsort(owner_key)  # stable: iota tie-break
+            sorted_key = owner_key[order]
+            starts = jnp.searchsorted(sorted_key, jnp.arange(d))
+            rank = (
+                jnp.arange(k * nl)
+                - starts[jnp.clip(sorted_key, 0, d - 1)]
             )
-            buf = jnp.zeros((d, cap, 16), jnp.float32)
-            for dst in range(d):
-                sel = (owner == dst) & validq
-                (idx,) = jnp.nonzero(sel, size=cap, fill_value=k * nl)
-                buf = buf.at[dst].set(padded_rows[idx])
+            ok = (sorted_key < d) & (rank < cap)
+            slot = jnp.where(ok, sorted_key * cap + rank, d * cap)
+            buf = (
+                jnp.zeros((d * cap + 1, 16), jnp.float32)
+                .at[slot].set(rows[order])[: d * cap]
+                .reshape(d, cap, 16)
+            )
             recv = jax.lax.all_to_all(
                 buf, axis, split_axis=0, concat_axis=0, tiled=True
             )  # (d, cap, 16): block j = queries device j routed to me

@@ -310,6 +310,47 @@ def test_sharded_align_partitions_work():
     assert load.min() >= n // 8 // 2, load
 
 
+def test_sharded_align_flops_scale_with_mesh():
+    """XLA cost-analysis proxy for near-linear scaling: the partitioned
+    align's PER-DEVICE flops must drop ~1/D as the mesh grows (measured
+    55.8M -> 7.1M from D=1 to D=8 at 32k points).  A per-destination
+    nonzero compaction once kept per-device routing O(K*N) regardless of
+    D; the argsort bucket compaction keeps everything O(N/D)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_gicp_tpu.models.scan_to_map import ScanToMapConfig
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import (
+        ShardedScanToMapOdometry, align_to_sharded_map_partitioned,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 8192
+    pts = jnp.asarray(rng.uniform(-25, 25, (n, 3)).astype(np.float32))
+    mask = jnp.ones(n, bool)
+    covs = jnp.broadcast_to(0.01 * jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+
+    flops = {}
+    for d in (2, 8):
+        mesh = make_mesh(d)
+        odo = ShardedScanToMapOdometry(cfg, mesh=mesh, covariance="knn")
+        odo.process(np.asarray(pts))
+        ca = align_to_sharded_map_partitioned.lower(
+            mesh, odo.state, pts, mask, covs,
+            jnp.eye(4, dtype=jnp.float32), cfg,
+        ).compile().cost_analysis()
+        if not ca or "flops" not in ca:
+            import pytest
+
+            pytest.skip("backend reports no flops cost analysis")
+        flops[d] = ca["flops"]
+    # ideal is 0.25; allow fixed per-device overhead up to 0.4
+    assert flops[8] < 0.4 * flops[2], flops
+
+
 def test_sharded_rbf_covariances_match_single():
     """Query-sharded covariance estimation reproduces the single-device
     RBF covariances (each device computes N/D queries vs the gathered
