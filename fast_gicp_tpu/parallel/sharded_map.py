@@ -230,6 +230,74 @@ def update_sharded_map(
     return run(state, points_world, covs_world, mask)
 
 
+@partial(jax.jit, static_argnames=("mesh",))
+def update_sharded_map_routed(
+    mesh, state: ShardedMapState, points_world, covs_world, mask
+) -> ShardedMapState:
+    """Fuse a SHARDED registered scan: compute-partitioned update.
+
+    `update_sharded_map` replicates the scan and every device filters the
+    full N rows by ownership — the per-frame fusion (segment sort +
+    scatters, update_map) stays O(N) per device.  Here each device owns
+    N/D rows, routes [point | cov9 | valid] 13-float packets to their
+    voxel-owner device with one `lax.all_to_all` (the same argsort bucket
+    compaction as the partitioned align), and runs update_map over the
+    ~2N/D rows it receives — per-device fusion is O((N/D) log(N/D)).
+    Packets beyond the 2x-slack route capacity are dropped for the frame
+    (hash placement keeps per-destination counts ~N/D^2), matching the
+    map's existing drop-and-retry insert semantics."""
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    n = points_world.shape[0]
+    n_local = n // d
+    cap = _route_capacity(n_local, d)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(_state_specs(axis), P(axis), P(axis), P(axis)),
+        out_specs=_state_specs(axis),
+    )
+    def run(st, pts, covs, msk):
+        local = _local_state(*st[:4], st.resolution)
+        h = _hash_coords(voxel_coord(pts, st.resolution))
+        owner = _owner_of(h, d)
+        rows = jnp.concatenate(
+            [pts, covs.reshape(n_local, 9),
+             msk.astype(jnp.float32)[:, None]],
+            axis=1,
+        )  # (nl, 13) — plain floats, no bitcast lanes
+        owner_key = jnp.where(msk, owner, d)  # invalid rows park at d
+        order = jnp.argsort(owner_key)
+        sorted_key = owner_key[order]
+        starts = jnp.searchsorted(sorted_key, jnp.arange(d))
+        rank = (
+            jnp.arange(n_local) - starts[jnp.clip(sorted_key, 0, d - 1)]
+        )
+        ok = (sorted_key < d) & (rank < cap)
+        slot = jnp.where(ok, sorted_key * cap + rank, d * cap)
+        buf = (
+            jnp.zeros((d * cap + 1, 13), jnp.float32)
+            .at[slot].set(rows[order])[: d * cap]
+            .reshape(d, cap, 13)
+        )
+        recv = jax.lax.all_to_all(
+            buf, axis, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(d * cap, 13)
+        new = update_map(
+            local, recv[:, :3], recv[:, 3:12], recv[:, 12] > 0.0
+        )
+        return ShardedMapState(
+            sums=new.sums,
+            coords=new.coords,
+            lut=new.lut,
+            num_voxels=new.num_voxels[None],
+            resolution=st.resolution,
+        )
+
+    return run(state, points_world, covs_world, mask)
+
+
 @partial(jax.jit, static_argnames=("mesh", "new_capacity_per_device"))
 def grow_sharded_map(
     mesh, state: ShardedMapState, new_capacity_per_device: int
@@ -695,7 +763,7 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
         )
 
     def _fuse(self, world_pts, world_covs, fuse_mask):
-        self.state = update_sharded_map(
+        self.state = update_sharded_map_routed(
             self.mesh, self.state, world_pts, world_covs, fuse_mask
         )
 

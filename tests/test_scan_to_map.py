@@ -324,6 +324,7 @@ def test_sharded_align_flops_scale_with_mesh():
     from fast_gicp_tpu.parallel.sharded import make_mesh
     from fast_gicp_tpu.parallel.sharded_map import (
         ShardedScanToMapOdometry, align_to_sharded_map_partitioned,
+        update_sharded_map_routed,
     )
 
     rng = np.random.default_rng(1)
@@ -333,7 +334,7 @@ def test_sharded_align_flops_scale_with_mesh():
     covs = jnp.broadcast_to(0.01 * jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
     cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
 
-    flops = {}
+    align_flops, update_flops = {}, {}
     for d in (2, 8):
         mesh = make_mesh(d)
         odo = ShardedScanToMapOdometry(cfg, mesh=mesh, covariance="knn")
@@ -346,9 +347,13 @@ def test_sharded_align_flops_scale_with_mesh():
             import pytest
 
             pytest.skip("backend reports no flops cost analysis")
-        flops[d] = ca["flops"]
+        align_flops[d] = ca["flops"]
+        update_flops[d] = update_sharded_map_routed.lower(
+            mesh, odo.state, pts, covs, mask
+        ).compile().cost_analysis()["flops"]
     # ideal is 0.25; allow fixed per-device overhead up to 0.4
-    assert flops[8] < 0.4 * flops[2], flops
+    assert align_flops[8] < 0.4 * align_flops[2], align_flops
+    assert update_flops[8] < 0.4 * update_flops[2], update_flops
 
 
 def test_sharded_rbf_covariances_match_single():
