@@ -371,19 +371,49 @@ def align_to_sharded_map(
     config: ScanToMapConfig,
 ):
     """Register a (replicated) scan against the sharded map; every device
-    solves the same LM trajectory from psummed normal equations."""
+    solves the same LM trajectory from psummed normal equations.
+
+    `config.objective` selects the per-correspondence model exactly as in
+    the single-device `align_to_map`: "vgicp" (sqrt(n)-weighted frozen
+    Mahalanobis) or "ndt_d2d"/"ndt_p2d" (Cauchy-robust NDT,
+    ndt_compute_derivatives.cu:15-18) — a coord misses on every shard but
+    its owner, so each device's partial (err, H, b) psums to the
+    single-device objective under either model."""
     axis = mesh.axis_names[0]
     offsets = jnp.asarray(
         neighbor_offsets(
             config.neighbor_search_method, config.neighbor_search_radius
         )
     )
-    vcfg = VGICPConfig(
-        resolution=config.resolution,
-        neighbor_search_method=config.neighbor_search_method,
-        neighbor_search_radius=config.neighbor_search_radius,
-        lsq=config.lsq,
-    )
+    if config.objective in ("ndt_d2d", "ndt_p2d"):
+        from ..models.ndt import NDTConfig, make_ndt_objective
+
+        ncfg = NDTConfig(
+            resolution=config.resolution,
+            distance_mode=config.objective[4:],
+            neighbor_search_method=config.neighbor_search_method,
+            neighbor_search_radius=config.neighbor_search_radius,
+            lsq=config.lsq,
+        )
+
+        def _objective(src, smask, scovs, vm, offs):
+            return make_ndt_objective(
+                src, smask,
+                None if config.objective == "ndt_p2d" else scovs,
+                vm, offs, ncfg, axis_name=axis,
+            )
+    else:
+        vcfg = VGICPConfig(
+            resolution=config.resolution,
+            neighbor_search_method=config.neighbor_search_method,
+            neighbor_search_radius=config.neighbor_search_radius,
+            lsq=config.lsq,
+        )
+
+        def _objective(src, smask, scovs, vm, offs):
+            return make_vgicp_objective(
+                src, smask, scovs, vm, offs, vcfg, axis_name=axis
+            )
 
     @partial(
         shard_map,
@@ -394,9 +424,7 @@ def align_to_sharded_map(
     def run(st, src, smask, scovs, offs, g):
         local = _local_state(*st[:4], st.resolution)
         vm = map_as_voxelmap(local)
-        lin, err = make_vgicp_objective(
-            src, smask, scovs, vm, offs, vcfg, axis_name=axis
-        )
+        lin, err = _objective(src, smask, scovs, vm, offs)
         return lsq_solve(lin, err, g, config.lsq)
 
     return run(
@@ -483,8 +511,18 @@ def align_to_sharded_map_partitioned(
     beyond the 2x-slack route capacity are dropped (hash placement keeps
     per-destination counts ~N/D^2; see `sharded_routing_load` for the
     measured balance).
+
+    `config.objective` selects vgicp (default) or ndt_d2d/ndt_p2d: the
+    routed packet already carries everything NDT needs (the owner holds
+    mu_B/cov_B/count; the packet holds p_t, R C_A R^T, and the raw source
+    point for trial-pose re-evaluation), so only the Mahalanobis form,
+    the >6-points voxel gate, and the Cauchy trial-pose weight differ
+    (ndt_compute_derivatives.cu:15-18, :61-63).
     """
     axis = mesh.axis_names[0]
+    is_ndt = config.objective in ("ndt_d2d", "ndt_p2d")
+    if is_ndt:
+        from ..models.ndt import _MIN_VOXEL_POINTS, _cauchy_weight
     d = mesh.shape[axis]
     n = source.shape[0]
     n_local = n // d
@@ -593,6 +631,8 @@ def align_to_sharded_map_partitioned(
             vids = lookup_voxels_cols(vm, qx, qy, qz)
             valid = valid_in & (vids >= 0)
             rows = vm.packed[jnp.maximum(vids, 0)]  # (d*cap, 16)
+            if is_ndt:  # >6-points voxel gate (ndt_compute_derivatives.cu:61-63)
+                valid = valid & (rows[:, 12] > _MIN_VOXEL_POINTS)
             mu_B = rows[:, 0:3].T  # (3, M)
             cov_B = jnp.stack(
                 [rows[:, 3], rows[:, 4], rows[:, 5],
@@ -604,13 +644,25 @@ def align_to_sharded_map_partitioned(
             p_src = recv[:, 13:16].T  # (3, M) untransformed
             return p_t, cr, mu_B, cov_B, n_B, valid, p_src
 
+        def _ndt_w(p_t, mu_B, valid):
+            e_sq = jnp.sum((mu_B - p_t) ** 2, axis=0)
+            return jnp.where(
+                valid, _cauchy_weight(config.resolution, e_sq), 0.0
+            )
+
         def linearize(x):
             from ..ops import soa as _soa
 
             recv = route(x)
             p_t, cr, mu_B, cov_B, n_B, valid, p_src = local_pairs(recv)
-            M = _soa.inv_sym_cols(cov_B + cr) * valid[None, :]
-            w = jnp.sqrt(jnp.maximum(n_B, 0.0))
+            if config.objective == "ndt_p2d":  # M = cov_B^-1
+                M = _soa.inv_sym_cols(cov_B) * valid[None, :]
+            else:  # vgicp / ndt_d2d: M = (cov_B + R C_A R^T)^-1
+                M = _soa.inv_sym_cols(cov_B + cr) * valid[None, :]
+            if is_ndt:
+                w = _ndt_w(p_t, mu_B, valid)
+            else:
+                w = jnp.sqrt(jnp.maximum(n_B, 0.0))
             err, H, b = _soa.linearize_cols(p_t, mu_B, M, w, valid)
             aux = (valid, M, w, mu_B, p_src)
             return (
@@ -625,6 +677,8 @@ def align_to_sharded_map_partitioned(
 
             valid, M, w, mu_B, p_src = aux
             p_t = _soa.transform_cols(x, p_src)
+            if is_ndt:  # trial-pose Cauchy weight, frozen M
+                w = _ndt_w(p_t, mu_B, valid)
             return jax.lax.psum(
                 _soa.error_cols(p_t, mu_B, M, w, valid), axis
             )
@@ -713,12 +767,6 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
         initial_pose=None,
         initial_velocity=None,
     ):
-        if config.objective != "vgicp":
-            raise ValueError(
-                "the sharded driver registers with the VGICP objective "
-                "only; NDT objectives are single-device "
-                "(ScanToMapOdometry)"
-            )
         super().__init__(config, covariance=covariance,
                          initial_pose=initial_pose,
                          initial_velocity=initial_velocity)

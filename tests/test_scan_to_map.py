@@ -598,16 +598,67 @@ def test_ndt_objective_against_map(rng):
         ate = ate_rmse(gt, odo.poses)
         assert ate < tol, (obj, ate)
 
-    # the sharded driver is VGICP-only (routing packs Mahalanobis aux)
-    import pytest
 
+def test_sharded_ndt_objective_matches_single():
+    """NDT objectives ride the sharded driver too: the compute-partitioned
+    routed align reproduces the single-device NDT trajectory (same Cauchy
+    weights, >6-points gate, and frozen-M trial errors, psummed)."""
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry,
+    )
     from fast_gicp_tpu.parallel.sharded import make_mesh
     from fast_gicp_tpu.parallel.sharded_map import ShardedScanToMapOdometry
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
 
-    with pytest.raises(ValueError):
-        ShardedScanToMapOdometry(
-            ScanToMapConfig(objective="ndt_d2d"), mesh=make_mesh(8)
+    scans, _gt = _trajectory_scans(np.random.default_rng(5), n_frames=3)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    for obj in ("ndt_d2d", "ndt_p2d"):
+        cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13, objective=obj)
+        single = ScanToMapOdometry(cfg, covariance="knn")
+        sharded = ShardedScanToMapOdometry(
+            cfg, mesh=make_mesh(8), covariance="knn"
         )
+        for s in scans:
+            p1 = single.process(s)
+            p8 = sharded.process(s)
+            np.testing.assert_allclose(p8, p1, atol=5e-3, err_msg=obj)
+
+
+def test_sharded_ndt_replicated_align_matches_single(rng):
+    """The replicated `align_to_sharded_map` path under an NDT config
+    equals the single-device `align_to_map` on the same map."""
+    import jax
+
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, align_to_map, empty_map, update_map,
+    )
+    from fast_gicp_tpu.ops.covariance import knn_covariances
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import (
+        align_to_sharded_map, distribute_map,
+    )
+
+    pts = jnp.asarray(rng.uniform(-8, 8, (1024, 3)).astype(np.float32))
+    pts = pts.at[:, 2].set(jnp.sin(pts[:, 0]) * 0.4)
+    mask = jnp.ones(1024, bool)
+    covs = knn_covariances(pts, mask, k=10)
+    state = update_map(empty_map(1 << 12, 1.0), pts, covs, mask)
+
+    src = pts + jnp.asarray([0.12, -0.05, 0.02], jnp.float32)
+    scovs = knn_covariances(src, mask, k=10)
+    guess = jnp.eye(4, dtype=jnp.float32)
+    mesh = make_mesh(8)
+    sh_state = distribute_map(mesh, state)
+    cfg = ScanToMapConfig(resolution=1.0, objective="ndt_d2d")
+    r1 = align_to_map(state, src, mask, scovs, guess, cfg)
+    r8 = align_to_sharded_map(mesh, sh_state, src, mask, scovs, guess, cfg)
+    np.testing.assert_allclose(
+        np.asarray(r8.transformation), np.asarray(r1.transformation),
+        atol=1e-4,
+    )
+    assert bool(jax.device_get(r8.converged)) == bool(
+        jax.device_get(r1.converged)
+    )
 
 
 def test_degenerate_scan_frames(rng):
