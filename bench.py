@@ -7,9 +7,16 @@ align.  Baseline = the reference's best: vgicp_cuda gpu_rbf_kernel 100times
 = 590.725 ms / 100 aligns = 169.28 reg/s on an RTX 2080 Ti (README.md:134).
 
 Timing methodology (IMPORTANT on the axon TPU tunnel): `block_until_ready`
-does not block and every device->host force costs a flat ~35 ms round trip,
-so we enqueue N iterations back-to-back and force only the final result —
-the same thing the reference's 100x wall-clock loop measures.
+does not block and every device->host force costs a flat ~35 ms round trip;
+host-side dispatch on this single-core host costs ~0.5 ms per jit call.  So
+the 100 registrations run as ONE jitted `lax.scan` (the reference's C++
+for-loop has zero loop overhead; the TPU-idiomatic equivalent is rolling
+the loop into the graph) and only the final result is forced.  To keep the
+protocol honest inside one graph, every scan trip re-observes both clouds
+through a tiny rigid jitter — otherwise XLA hoists the loop-invariant
+covariance passes and the voxel-map build out of the loop (verified in the
+device trace), which would measure a lighter protocol than the reference's
+"setInputSource/Target + align each time" loop (align.cpp:56-76).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "registrations/sec", "vs_baseline": N}
@@ -91,24 +98,52 @@ def main() -> None:
     sp, sm = map(jnp.asarray, pad_points(source))
     tp, tm = map(jnp.asarray, pad_points(target))
     guess = jnp.eye(4, dtype=jnp.float32)
+    from functools import partial
+
+    from fast_gicp_tpu import se3
     from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
 
-    config = VGICPConfig(grid_dims=auto_grid_dims(target, 1.0))
+    # refresh_iterations=2: re-search voxel correspondences for 2 LM
+    # iterations, then freeze them (the FastGICPSingleThread anchor-trick
+    # analogue, fast_gicp_st_impl.hpp:46-54); accuracy vs the full
+    # re-search solve is pinned by test_vgicp_two_phase_refresh_matches_full
+    # and the t_err/fitness line below.
+    config = VGICPConfig(
+        grid_dims=auto_grid_dims(target, 1.0), refresh_iterations=2
+    )
 
-    def one_registration():
-        # Full protocol per iteration (covariances for BOTH clouds + align),
-        # fused into one jitted graph.
-        return vgicp_register(sp, sm, tp, tm, guess, config)
+    @partial(jax.jit, static_argnames=("config",))
+    def register_n(sp, sm, tp, tm, jitters, config):
+        # Each trip re-observes both clouds through a tiny rigid jitter so
+        # NOTHING is loop-invariant: RBF covariances for both clouds, the
+        # voxel-map build, and the LM solve all re-run every trip.
+        def body(carry, J):
+            sj = sp @ J[:3, :3].T + J[:3, 3]
+            tj = tp @ J[:3, :3].T + J[:3, 3]
+            r = vgicp_register(
+                sj, sm, tj, tm, jnp.eye(4, dtype=sp.dtype), config
+            )
+            return r.transformation, r.iterations
 
-    # Warm-up / compile (the reference warms the GPU at construction,
+        return jax.lax.scan(body, jnp.eye(4, dtype=jnp.float32), jitters)
+
+    # Accuracy probe on the unjittered pair (also the compile warm-up for
+    # vgicp_register; the reference warms the GPU at construction,
     # fast_vgicp_cuda.cu:20).
-    result = one_registration()
+    result = vgicp_register(sp, sm, tp, tm, guess, config)
     T = np.asarray(result.transformation)
 
-    n_iters = 50
+    n_iters = 100
+    rng = np.random.default_rng(0)
+    twists = 1e-5 * rng.standard_normal((n_iters, 6)).astype(np.float32)
+    jitters = jnp.asarray(
+        np.stack([np.asarray(se3.se3_exp(jnp.asarray(t))) for t in twists])
+    )
+    last, _ = register_n(sp, sm, tp, tm, jitters, config)  # warm-up/compile
+    np.asarray(last)
     t0 = time.perf_counter()
-    results = [one_registration() for _ in range(n_iters)]
-    np.asarray(results[-1].transformation)  # force the chain
+    last, iters = register_n(sp, sm, tp, tm, jitters, config)
+    np.asarray(last)  # force the chain
     dt = (time.perf_counter() - t0) / n_iters
     reg_per_sec = 1.0 / dt
 

@@ -90,6 +90,9 @@ def make_gicp_objective(
                 [a, jnp.zeros((8 - a.shape[0], n), a.dtype)]
             )
 
+        P_pad = _pad8(P)
+        CA_pad = _pad8(C_A)
+
         def linearize(x):
             p_t = soa.transform_cols(x, P)
             idx, sq_dist = nn_search(
@@ -97,9 +100,10 @@ def make_gicp_objective(
             )
             valid = source_mask & (sq_dist < thr_sq)
             rows_t = target_pack16[idx].T  # (16, N)
-            cr = soa.rotate_sym_cols(x[:3, :3], C_A)
+            # transform + R C_A R^T run in-kernel against the
+            # loop-invariant P_pad/CA_pad operands
             err, H, b, aux = pallas_linearize.linearize_pallas(
-                _pad8(p_t), _pad8(cr), rows_t,
+                P_pad, CA_pad, x, rows_t,
                 _pad8(valid[None, :].astype(p_t.dtype)),
             )
             return (
@@ -108,8 +112,6 @@ def make_gicp_objective(
                 _psum(b, axis_name),
                 aux,
             )
-
-        P_pad = _pad8(P)
 
         def error(x, aux):
             # untransformed source columns + the trial pose: the rigid

@@ -6,13 +6,20 @@ each call is launch-bound (~0.2 ms of ~20 us launches, >10x the actual
 VPU work).  These kernels fuse everything after the (XLA-side) voxel
 lookup + row gather into ONE kernel each:
 
-  * `linearize_pallas` — covariance rotation R C_A R^T, Mahalanobis
-    inverse, the (err, H, b) 28-row reduction, AND the aux pack (M, w, mu,
-    valid) the LM inner trials reuse — one pass over the correspondences.
+  * `linearize_pallas` — rigid transform of the source columns, covariance
+    rotation R C_A R^T, Mahalanobis inverse, the (err, H, b) 28-row
+    reduction, AND the aux pack (M, w, mu, valid) the LM inner trials
+    reuse — one pass over the correspondences.  The pose enters as a
+    (4, 4) operand and is applied IN-KERNEL, so the only per-iteration
+    XLA-side work left is the voxel-row gather itself: the untransformed
+    source columns and source covariance columns are loop-invariant
+    across the whole LM solve (measured ~90 us/registration of XLA
+    transform/rotate/flatten fusions deleted at 18k points).
   * `error_pallas` — trial-pose Mahalanobis error against the frozen aux.
 
 Layouts (lane dim = correspondences, like ops/pallas_kernels.py):
-  * p_t, C_A arrive as SoA column stacks padded to 8 sublanes.
+  * source columns / source sym-6 covariance columns arrive as (8, N)
+    stacks (rows 0..2 resp. 0..5 used, rest sublane padding).
   * gathered voxel rows arrive TRANSPOSED (16, N): [mu(3), cov9, count, ...]
   * aux pack (16, N): [M(6), w, valid, mu(3), pad...] — written by
     linearize, read by error.
@@ -73,21 +80,49 @@ def _mahalanobis_core(p0, p1, p2, q0, q1, q2, m):
     return (me0, me1, me2), err
 
 
-def _lin_body(pt_ref, cr_ref, out_ref, aux_ref, i,
+def _transform_cols(x, s0, s1, s2):
+    """Apply the (4, 4) pose tile to source columns, in-kernel."""
+    p0 = x[0, 0] * s0 + x[0, 1] * s1 + x[0, 2] * s2 + x[0, 3]
+    p1 = x[1, 0] * s0 + x[1, 1] * s1 + x[1, 2] * s2 + x[1, 3]
+    p2 = x[2, 0] * s0 + x[2, 1] * s1 + x[2, 2] * s2 + x[2, 3]
+    return p0, p1, p2
+
+
+def _rotate_sym_cols(x, c00, c01, c02, c11, c12, c22):
+    """R C R^T on sym-6 columns with R = x[:3, :3] scalars, in-kernel
+    (the kernel-side twin of soa.rotate_sym_cols)."""
+    b = []
+    for i in range(3):
+        ri0, ri1, ri2 = x[i, 0], x[i, 1], x[i, 2]
+        b.append((
+            ri0 * c00 + ri1 * c01 + ri2 * c02,
+            ri0 * c01 + ri1 * c11 + ri2 * c12,
+            ri0 * c02 + ri1 * c12 + ri2 * c22,
+        ))
+
+    def _rc(i, j):
+        return b[i][0] * x[j, 0] + b[i][1] * x[j, 1] + b[i][2] * x[j, 2]
+
+    return (_rc(0, 0), _rc(0, 1), _rc(0, 2), _rc(1, 1), _rc(1, 2), _rc(2, 2))
+
+
+def _lin_body(ps_ref, ca_ref, x_ref, out_ref, aux_ref, i,
               q0, q1, q2, cb, count, valid):
-    """Shared linearize core: Mahalanobis inverse, (err, H, b) reduction,
-    aux pack.  `cb` is the target sym-6 covariance, `count`/`valid` the
-    weight/validity columns; callers differ only in how they unpack the
-    gathered voxel rows."""
+    """Shared linearize core: in-kernel transform + covariance rotation,
+    Mahalanobis inverse, (err, H, b) reduction, aux pack.  `cb` is the
+    target sym-6 covariance, `count`/`valid` the weight/validity columns;
+    callers differ only in how they unpack the gathered voxel rows."""
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    p0, p1, p2 = pt_ref[0], pt_ref[1], pt_ref[2]
+    x = x_ref
+    s0, s1, s2 = ps_ref[0], ps_ref[1], ps_ref[2]
+    p0, p1, p2 = _transform_cols(x, s0, s1, s2)
+    cr = _rotate_sym_cols(
+        x, ca_ref[0], ca_ref[1], ca_ref[2], ca_ref[3], ca_ref[4], ca_ref[5]
+    )
 
-    # cr_ref: R C_A R^T precomputed in XLA (a vmap/shard-friendly input —
-    # an SMEM scalar rotation input broke under vmap batching)
-    cr = tuple(cr_ref[k] for k in range(6))
     s = tuple(cb[k] + cr[k] for k in range(6))
     m = tuple(mk * valid for mk in _sym_inv(*s))
     m00, m01, m02, m11, m12, m22 = m
@@ -142,7 +177,8 @@ def _lin_body(pt_ref, cr_ref, out_ref, aux_ref, i,
     aux_ref[15] = jnp.zeros_like(p0)
 
 
-def _linearize_kernel(pt_ref, cr_ref, rows_ref, valid_ref, out_ref, aux_ref):
+def _linearize_kernel(ps_ref, ca_ref, x_ref, rows_ref, valid_ref,
+                      out_ref, aux_ref):
     """Packed-rows layout: [mu (3), cov9, count, pad] (finalized stats)."""
     i = pl.program_id(0)
     q0, q1, q2 = rows_ref[0], rows_ref[1], rows_ref[2]
@@ -150,10 +186,12 @@ def _linearize_kernel(pt_ref, cr_ref, rows_ref, valid_ref, out_ref, aux_ref):
           rows_ref[7], rows_ref[8], rows_ref[11])
     count = rows_ref[12]
     valid = valid_ref[0]
-    _lin_body(pt_ref, cr_ref, out_ref, aux_ref, i, q0, q1, q2, cb, count, valid)
+    _lin_body(ps_ref, ca_ref, x_ref, out_ref, aux_ref, i,
+              q0, q1, q2, cb, count, valid)
 
 
-def _linearize_raw_kernel(pt_ref, cr_ref, rows_ref, valid_ref, out_ref, aux_ref):
+def _linearize_raw_kernel(ps_ref, ca_ref, x_ref, rows_ref, valid_ref,
+                          out_ref, aux_ref):
     """Raw-sums layout from DenseRawGridMap: [count, sum mu (3), sum cov
     (9 row-major), pad] — the divide-by-count finalization runs here, so
     the XLA side does ONE row gather and nothing else."""
@@ -167,39 +205,44 @@ def _linearize_raw_kernel(pt_ref, cr_ref, rows_ref, valid_ref, out_ref, aux_ref)
     cb = (rows_ref[4] * inv_n, rows_ref[5] * inv_n, rows_ref[6] * inv_n,
           rows_ref[8] * inv_n, rows_ref[9] * inv_n, rows_ref[12] * inv_n)
     valid = valid_ref[0] * alive
-    _lin_body(pt_ref, cr_ref, out_ref, aux_ref, i, q0, q1, q2, cb, count, valid)
+    _lin_body(ps_ref, ca_ref, x_ref, out_ref, aux_ref, i,
+              q0, q1, q2, cb, count, valid)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def linearize_pallas(p_t, cov_rot, rows_t, valid_f, interpret: bool = False):
+def linearize_pallas(p_src, ca, x, rows_t, valid_f, interpret: bool = False):
     """Fused linearize.
 
     Args:
-      p_t: (8, N) f32 — transformed source columns (rows 0..2 used).
-      cov_rot: (8, N) f32 — R C_A R^T symmetric-6 columns (rows 0..5),
-        rotated in XLA at the linearization point.
+      p_src: (8, N) f32 — UNTRANSFORMED source columns (rows 0..2 used);
+        loop-invariant across the whole LM solve.
+      ca: (8, N) f32 — UNrotated source sym-6 covariance columns
+        (rows 0..5 used); loop-invariant.
+      x: (4, 4) — the linearization-point pose, applied in-kernel (both
+        the rigid transform of p_src and the R C_A R^T rotation).
       rows_t: (16, N) f32 — gathered voxel rows, transposed packed layout.
       valid_f: (8, N) f32 — row 0 is the 0/1 correspondence validity.
 
     Returns (err (), H (6, 6), b (6,), aux (16, N)).
     """
-    return _linearize_call(_linearize_kernel, p_t, cov_rot, rows_t, valid_f,
+    return _linearize_call(_linearize_kernel, p_src, ca, x, rows_t, valid_f,
                            interpret)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def linearize_raw_pallas(p_t, cov_rot, rows_t, valid_f,
+def linearize_raw_pallas(p_src, ca, x, rows_t, valid_f,
                          interpret: bool = False):
     """Fused linearize against RAW accumulator rows (DenseRawGridMap
     layout [count, sum mu, sum cov9]); finalization happens in-kernel."""
-    return _linearize_call(_linearize_raw_kernel, p_t, cov_rot, rows_t,
+    return _linearize_call(_linearize_raw_kernel, p_src, ca, x, rows_t,
                            valid_f, interpret)
 
 
-def _linearize_call(kernel, p_t, cov_rot, rows_t, valid_f, interpret):
-    n = p_t.shape[1]
+def _linearize_call(kernel, p_src, ca, x, rows_t, valid_f, interpret):
+    n = p_src.shape[1]
     if n % _NT:
         raise ValueError(f"n={n} not a multiple of {_NT}")
+    x_tile = jnp.zeros((8, 128), p_src.dtype).at[:4, :4].set(x)
     grid = (n // _NT,)
     out, aux = pl.pallas_call(
         kernel,
@@ -207,6 +250,7 @@ def _linearize_call(kernel, p_t, cov_rot, rows_t, valid_f, interpret):
         in_specs=[
             pl.BlockSpec((8, _NT), lambda i: (0, i)),
             pl.BlockSpec((8, _NT), lambda i: (0, i)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
             pl.BlockSpec((16, _NT), lambda i: (0, i)),
             pl.BlockSpec((8, _NT), lambda i: (0, i)),
         ],
@@ -219,7 +263,7 @@ def _linearize_call(kernel, p_t, cov_rot, rows_t, valid_f, interpret):
             jax.ShapeDtypeStruct((_AUX_ROWS, n), jnp.float32),
         ],
         interpret=interpret,
-    )(p_t, cov_rot, rows_t, valid_f)
+    )(p_src, ca, x_tile, rows_t, valid_f)
     s = out[0]
     err = s[0]
     (h00, h01, h02, h11, h12, h22,
@@ -250,10 +294,7 @@ def _error_kernel(p_ref, x_ref, aux_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     s0, s1, s2 = p_ref[0], p_ref[1], p_ref[2]
-    x = x_ref
-    p0 = x[0, 0] * s0 + x[0, 1] * s1 + x[0, 2] * s2 + x[0, 3]
-    p1 = x[1, 0] * s0 + x[1, 1] * s1 + x[1, 2] * s2 + x[1, 3]
-    p2 = x[2, 0] * s0 + x[2, 1] * s1 + x[2, 2] * s2 + x[2, 3]
+    p0, p1, p2 = _transform_cols(x_ref, s0, s1, s2)
     m = tuple(aux_ref[k] for k in range(6))
     w = aux_ref[6]
     q0, q1, q2 = aux_ref[7], aux_ref[8], aux_ref[9]

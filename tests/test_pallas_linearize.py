@@ -30,14 +30,17 @@ def test_fused_matches_soa(rng):
     x = se3.se3_exp(jnp.asarray(np.float32([0.1, -0.2, 0.05, 0.5, 1.0, -0.3])))
     R = x[:3, :3]
 
-    # SoA reference
+    # SoA reference: the kernel applies the pose in-kernel (transform of
+    # the source columns AND the R C_A R^T rotation), so the SoA side
+    # transforms explicitly.
     P = soa.cols_from_points(p)
+    P_t = soa.transform_cols(x, P)
     CA = soa.sym_cols_from_covs(covs_a)
     CB = soa.sym_cols_from_covs(covs_b)
     M = soa.inv_sym_cols(CB + soa.rotate_sym_cols(R, CA)) * valid[None, :]
     w = jnp.sqrt(counts)
     Q = soa.cols_from_points(q)
-    err_s, H_s, b_s = soa.linearize_cols(P, Q, M, w, valid)
+    err_s, H_s, b_s = soa.linearize_cols(P_t, Q, M, w, valid)
 
     # fused kernel
     rows = jnp.concatenate(
@@ -45,9 +48,8 @@ def test_fused_matches_soa(rng):
          jnp.zeros((n, 3), jnp.float32)], axis=1
     )
     pad8 = lambda a: jnp.concatenate([a, jnp.zeros((8 - a.shape[0], n), a.dtype)])
-    cr = soa.rotate_sym_cols(R, CA)
     err_f, H_f, b_f, aux = pallas_linearize.linearize_pallas(
-        pad8(P), pad8(cr), rows.T,
+        pad8(P), pad8(CA), x, rows.T,
         pad8(valid[None, :].astype(jnp.float32)),
         interpret=INTERPRET,
     )

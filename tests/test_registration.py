@@ -77,6 +77,47 @@ def test_vgicp_direct7(pair_coarse):
     _check(reg.align(), gt)
 
 
+def test_vgicp_two_phase_refresh_matches_full(pair_coarse):
+    """config.refresh_iterations=R (re-search R iterations, then freeze the
+    voxel correspondences — the FastGICPSingleThread anchor-trick analogue,
+    fast_gicp_st_impl.hpp:46-54) must land on the same pose as the
+    per-iteration re-search solve, within a fraction of the reference
+    accuracy tolerance, on every map backend (dense raw grid + hash)."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.vgicp import VGICPConfig, vgicp_align
+    from fast_gicp_tpu.models.base import Cloud
+    from fast_gicp_tpu.ops.covariance import knn_covariances_jit
+    from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    source, target, gt = pair_coarse
+    sp, sm = map(jnp.asarray, pad_points(source))
+    tp, tm = map(jnp.asarray, pad_points(target))
+    scovs = knn_covariances_jit(sp, sm)
+    tcovs = knn_covariances_jit(tp, tm)
+    guess = jnp.eye(4, dtype=jnp.float32)
+
+    for grid_dims in (auto_grid_dims(target, 1.0), None):
+        full = vgicp_align(
+            sp, sm, scovs, tp, tm, tcovs, guess,
+            VGICPConfig(grid_dims=grid_dims),
+        )
+        two = vgicp_align(
+            sp, sm, scovs, tp, tm, tcovs, guess,
+            VGICPConfig(grid_dims=grid_dims, refresh_iterations=2),
+        )
+        assert bool(two.converged)
+        _check(np.asarray(two.transformation), gt)
+        # agreement with the exact re-search solve well inside the
+        # reference tolerance
+        delta = np.linalg.inv(np.asarray(full.transformation)) @ np.asarray(
+            two.transformation
+        )
+        assert np.linalg.norm(delta[:3, 3]) < 5e-3
+        assert np.abs(delta[:3, :3] - np.eye(3)).max() < 5e-4
+
+
 def test_vgicp_rbf_covariances(pair_coarse):
     source, target, gt = pair_coarse
     reg = FastVGICP()
