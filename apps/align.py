@@ -63,6 +63,137 @@ def build_methods(args):
     return methods
 
 
+def run_device_rows(methods, source, target, n):
+    """Device-rolled Nx protocol: the N aligns run as ONE jitted lax.scan
+    (zero per-align host dispatch — the TPU-idiomatic equivalent of the
+    reference's C++ `for` loop, align.cpp:56-76, whose loop overhead is
+    also zero).  Per-trip rigid jitter re-observes the clouds so nothing
+    is loop-invariant (XLA would otherwise hoist covariance passes and map
+    builds out of the loop).  "fresh" re-estimates covariances every trip;
+    "reuse" rotates cached covariances (the swap-protocol analogue,
+    align.cpp:87-103: covariance estimation leaves the loop, map build and
+    solve stay in it).  NDT has no covariance cache (its voxel maps ARE
+    the statistics, rebuilt per align, ndt_cuda.cu:120-140), so its two
+    rows coincide by construction.
+    """
+    import time
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu import se3
+    from fast_gicp_tpu.models.gicp import GICPConfig, gicp_align
+    from fast_gicp_tpu.models.ndt import NDTConfig, ndt_align
+    from fast_gicp_tpu.models.vgicp import (
+        VGICPConfig, vgicp_align, vgicp_register,
+    )
+    from fast_gicp_tpu.ops.covariance import knn_covariances, rbf_covariances
+    from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    sp, sm = map(jnp.asarray, pad_points(source))
+    tp, tm = map(jnp.asarray, pad_points(target))
+    dims = auto_grid_dims(target, 1.0)
+    # NDT D2D builds a SOURCE voxel map too; size the grid for the union
+    # of extents (cf. NDTCuda._grid_dims).
+    ndims = auto_grid_dims(np.concatenate([source, target]), 1.0)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    vcfg = VGICPConfig(grid_dims=dims, refresh_iterations=2)
+    gcfg = GICPConfig(refresh_iterations=2)
+    ncfg_d2d = NDTConfig(resolution=1.0, grid_dims=ndims, refresh_iterations=3)
+    ncfg_p2d = ncfg_d2d._replace(distance_mode="p2d", refresh_iterations=6)
+
+    rng = np.random.default_rng(0)
+    twists = 1e-5 * rng.standard_normal((n, 6)).astype(np.float32)
+    jitters = jnp.asarray(
+        np.stack([np.asarray(se3.se3_exp(jnp.asarray(t))) for t in twists])
+    )
+    scovs_rbf = rbf_covariances(sp, sm)
+    tcovs_rbf = rbf_covariances(tp, tm)
+    scovs_knn = knn_covariances(sp, sm)
+    tcovs_knn = knn_covariances(tp, tm)
+
+    def rot_covs(J, covs):
+        R = J[:3, :3]
+        out = jnp.einsum("ij,njk,lk->nil", R, covs, R)
+        # Barrier: without it XLA fuses this 17k-cov rotation INTO the LM
+        # while_loop body (it looks cheap to rematerialize), recomputing it
+        # every iteration — measured 3x on the whole align.
+        return jax.lax.optimization_barrier(out)
+
+    def fgicp_fresh(J):
+        sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
+        return gicp_align(sj, sm, knn_covariances(sj, sm),
+                          tj, tm, knn_covariances(tj, tm), eye, gcfg)
+
+    def fgicp_reuse(J):
+        sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
+        return gicp_align(sj, sm, rot_covs(J, scovs_knn),
+                          tj, tm, rot_covs(J, tcovs_knn), eye, gcfg)
+
+    def vgicp_fresh(J):
+        sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
+        return vgicp_align(sj, sm, knn_covariances(sj, sm),
+                           tj, tm, knn_covariances(tj, tm), eye, vcfg)
+
+    def vgicp_reuse(J):
+        sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
+        return vgicp_align(sj, sm, rot_covs(J, scovs_knn),
+                           tj, tm, rot_covs(J, tcovs_knn), eye, vcfg)
+
+    def vgicp_rbf_fresh(J):
+        sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
+        return vgicp_register(sj, sm, tj, tm, eye, vcfg)
+
+    def vgicp_rbf_reuse(J):
+        sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
+        return vgicp_align(sj, sm, rot_covs(J, scovs_rbf),
+                           tj, tm, rot_covs(J, tcovs_rbf), eye, vcfg)
+
+    def ndt_body(cfg):
+        def body(J):
+            sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
+            return ndt_align(sj, sm, tj, tm, eye, cfg)
+        return body
+
+    bodies = {
+        "fgicp": (fgicp_fresh, fgicp_reuse),
+        "vgicp": (vgicp_fresh, vgicp_reuse),
+        "vgicp_rbf": (vgicp_rbf_fresh, vgicp_rbf_reuse),
+        "ndt_d2d": (ndt_body(ncfg_d2d), ndt_body(ncfg_d2d)),
+        "ndt_p2d": (ndt_body(ncfg_p2d), ndt_body(ncfg_p2d)),
+    }
+
+    @partial(jax.jit, static_argnames=("which", "col"))
+    def scan_n(jitters, which, col):
+        def step(carry, J):
+            r = bodies[which][col](J)
+            return carry, r.transformation
+        return jax.lax.scan(step, 0, jitters)[1]
+
+    def timed(which, col):
+        out = scan_n(jitters, which, col)
+        np.asarray(out)  # warm-up/compile
+        t0 = time.perf_counter()
+        out = scan_n(jitters, which, col)
+        np.asarray(out)
+        return (time.perf_counter() - t0) * 1e3 / n
+
+    rows = {}
+    print(f"\ndevice-rolled lax.scan protocol ({n} aligns / dispatch):")
+    print(f"{'method':<12} {'fresh':>14} {'reuse':>14}")
+    for name in methods:
+        fresh = timed(name, 0)
+        reuse = timed(name, 1)
+        rows[name] = {
+            "fresh_ms_per_align": round(fresh, 3),
+            "reuse_ms_per_align": round(reuse, 3),
+        }
+        print(f"{name:<12} {fresh:>11.2f}ms {reuse:>11.2f}ms", flush=True)
+    return rows
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("target", nargs="?",
@@ -74,6 +205,20 @@ def main(argv=None):
     parser.add_argument("--downsample", type=float, default=0.1)
     parser.add_argument("--methods", nargs="*", default=None)
     parser.add_argument(
+        "--exact-downsample", action="store_true",
+        help="use the exact centroid voxel grid instead of the "
+        "PCL-ApproximateVoxelGrid-compatible filter the reference "
+        "benchmark uses (align.cpp:30-36)",
+    )
+    parser.add_argument("--json", default=None,
+                        help="also write the table as JSON to this path")
+    parser.add_argument(
+        "--device-loop", action="store_true",
+        help="additionally run the Nx protocols as ONE jitted lax.scan per "
+        "row (no per-align host dispatch; the TPU equivalent of the "
+        "reference's zero-overhead C++ loop)",
+    )
+    parser.add_argument(
         "--pipelined", action="store_true",
         help="run the Nx rows through align_async (enqueue every align, "
         "synchronize once at the end) — on a remote-device runtime the "
@@ -82,17 +227,24 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
-    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from fast_gicp_tpu.utils.downsample import (
+        approximate_voxel_downsample,
+        voxel_downsample,
+    )
     from fast_gicp_tpu.utils.io import load_pcd, strip_near_origin
 
-    target = voxel_downsample(strip_near_origin(load_pcd(args.target)),
-                              args.downsample)
-    source = voxel_downsample(strip_near_origin(load_pcd(args.source)),
-                              args.downsample)
+    # The reference benchmark filters through pcl::ApproximateVoxelGrid
+    # (align.cpp:30-36) — use the compatible filter by default so point
+    # counts and fitness are comparable with its README table.
+    filt = voxel_downsample if args.exact_downsample else (
+        approximate_voxel_downsample)
+    target = filt(strip_near_origin(load_pcd(args.target)), args.downsample)
+    source = filt(strip_near_origin(load_pcd(args.source)), args.downsample)
     print(f"target: {len(target)} pts, source: {len(source)} pts", flush=True)
     print(f"{'method':<12} {'single':>10} {f'{args.n}x':>12} "
           f"{f'{args.n}x_reuse':>12} {'fitness':>10}")
 
+    rows = {}
     for name, make in build_methods(args).items():
         # single (includes compile on first ever call; warm a throwaway
         # instance first so numbers reflect steady state, mirroring the
@@ -162,6 +314,33 @@ def main(argv=None):
         fitness = reg.get_fitness_score()
         print(f"{name:<12} {single_ms:>8.2f}ms {multi_ms:>10.1f}ms "
               f"{reuse_ms:>10.1f}ms {fitness:>10.5f}", flush=True)
+        rows[name] = {
+            "single_ms": round(single_ms, 2),
+            f"{args.n}x_ms": round(multi_ms, 1),
+            f"{args.n}x_reuse_ms": round(reuse_ms, 1),
+            "fitness": round(float(fitness), 6),
+        }
+    device_rows = None
+    if args.device_loop:
+        device_rows = run_device_rows(
+            list(build_methods(args)), source, target, args.n
+        )
+    if args.json:
+        import json
+
+        payload = {
+            "n": args.n,
+            "pipelined": bool(args.pipelined),
+            "downsample": args.downsample,
+            "n_target": int(len(target)),
+            "n_source": int(len(source)),
+            "methods": rows,
+        }
+        if device_rows is not None:
+            payload["device_loop"] = device_rows
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
     return 0
 
 

@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
-"""Full-stack mini-SLAM: stream odometry + loop-closure detection +
+"""Full-stack mini-SLAM: stream odometry + loop-closure DETECTION +
 pose-graph optimization.
 
-Drives a closed loop with scan-to-scan odometry (drifts), detects the
-revisit by pose proximity, registers the closing pair, and feeds the
-odometry chain + closure edge (weighted by the registration Hessian) to
-the pose-graph back-end.  Every stage is a fast_gicp_tpu primitive.
+Drives a closed loop with scan-to-scan odometry (drifts), FINDS the
+revisit (models/loop_closure.py: trajectory-proximity candidates with a
+temporal guard, coarse-to-fine registration verification, fitness gate),
+and feeds the odometry chain + found closure edges (weighted by the
+registration Hessian) to the pose-graph back-end.  Every stage is a
+fast_gicp_tpu primitive.
 """
 import os
 import sys
@@ -17,18 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from odometry_bench import _loop_scans
-from fast_gicp_tpu import (
-    NDTConfig,
-    VGICPConfig,
-    ndt_align,
-    optimize_pose_graph,
-    vgicp_register,
-)
+from fast_gicp_tpu import VGICPConfig, optimize_pose_graph
 from fast_gicp_tpu.models.pose_graph import PoseGraphConfig, edges_from_odometry
 from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
 from fast_gicp_tpu.utils.downsample import voxel_downsample
 from fast_gicp_tpu.utils.kitti import ate_rmse, run_odometry_stream
-from fast_gicp_tpu.utils.padding import pad_points
 
 
 def main():
@@ -43,40 +38,36 @@ def main():
     poses = run_odometry_stream(scans, 0.6, config=cfg)
     print(f"odometry ATE: {ate_rmse(gt, poses):.3f} m")
 
-    # 2. loop-closure detection: last pose back near the start
-    d_close = np.linalg.norm(poses[-1][:3, 3] - poses[0][:3, 3])
-    print(f"loop gap by odometry: {d_close:.3f} m -> closing 0 <-> {len(poses)-1}")
-
-    # 3. register the closing pair COARSE-TO-FINE (the drifted guess can be
-    # meters off — NDT D2D at 4 m voxels has the wide basin, VGICP at 1 m
-    # refines); the final Hessian weights the closure edge.
-    c0 = voxel_downsample(scans[0], 0.25)  # closure at full quality
-    cl = voxel_downsample(scans[-1], 0.25)
-    sp, sm = map(jnp.asarray, pad_points(cl))
-    tp, tm = map(jnp.asarray, pad_points(c0))
-    guess = jnp.asarray(
-        (np.linalg.inv(poses[0]) @ poses[-1]).astype(np.float32)
+    # 2+3. loop-closure DETECTION: candidates from trajectory revisit
+    # proximity (temporal guard skips odometry neighbors), then geometric
+    # verification by coarse-to-fine registration (NDT D2D 4 m basin for
+    # the drifted guess -> VGICP 1 m refine) with a fitness gate.  The
+    # closure is FOUND, not declared; the refine Hessian weights its edge.
+    from fast_gicp_tpu.models.loop_closure import (
+        LoopClosureConfig, detect_loop_closures,
     )
-    coarse = ndt_align(sp, sm, tp, tm, guess, NDTConfig(resolution=4.0))
-    reg = vgicp_register(
-        sp, sm, tp, tm, coarse.transformation,
-        VGICPConfig(resolution=1.0, grid_dims=auto_grid_dims(c0, 1.0)),
-    )  # see also fast_gicp_tpu.vgicp_align_multires for the same recipe
-    closure = np.asarray(reg.transformation, np.float32)
-    closure_info = np.asarray(reg.hessian, np.float32)
-    print(f"closure: coarse NDT conv={bool(coarse.converged)}, "
-          f"VGICP refine conv={bool(reg.converged)}")
 
-    # 4. back-end: odometry chain + closure edge
+    closures = detect_loop_closures(
+        scans, poses, LoopClosureConfig(min_gap=10, radius=3.0)
+    )
+    assert closures, "no loop closure found on a closed drive"
+    for c in closures:
+        print(f"closure found: {c.i} <-> {c.j} (fitness {c.fitness:.3f})")
+
+    # 4. back-end: odometry chain + found closure edges
     k = len(poses)
     i, j, rel = edges_from_odometry(poses)
-    edge_i = np.concatenate([i, [0]]).astype(np.int32)
-    edge_j = np.concatenate([j, [k - 1]]).astype(np.int32)
-    edge_rel = np.concatenate([rel, closure[None]])
+    edge_i = np.concatenate([i, [c.i for c in closures]]).astype(np.int32)
+    edge_j = np.concatenate([j, [c.j for c in closures]]).astype(np.int32)
+    edge_rel = np.concatenate(
+        [rel, np.stack([c.relative for c in closures])]
+    )
     info = np.broadcast_to(
-        np.eye(6, dtype=np.float32) * 1e2, (k, 6, 6)
+        np.eye(6, dtype=np.float32) * 1e2,
+        (len(edge_i), 6, 6),
     ).copy()
-    info[-1] = closure_info  # registration uncertainty, used for real
+    for n, c in enumerate(closures):  # registration uncertainty, used
+        info[k - 1 + n] = c.information
     res = optimize_pose_graph(
         jnp.asarray(np.stack(poses), jnp.float32),
         jnp.asarray(edge_i), jnp.asarray(edge_j), jnp.asarray(edge_rel),

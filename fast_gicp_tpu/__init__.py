@@ -55,6 +55,12 @@ from .models.pose_graph_sparse import (
     optimize_pose_graph_sparse,
     optimize_pose_graph_sparse_sharded,
 )
+from .models.loop_closure import (
+    LoopClosure,
+    LoopClosureConfig,
+    detect_loop_closures,
+    find_loop_candidates,
+)
 from .models.metrics import fitness_score, pose_error
 from .models.scan_to_map import (
     ScanToMapConfig,
@@ -89,6 +95,10 @@ __all__ = [
     "NDTCuda",
     "ndt_align",
     "ndt_evaluate",
+    "LoopClosure",
+    "LoopClosureConfig",
+    "detect_loop_closures",
+    "find_loop_candidates",
     "PoseGraphConfig",
     "PoseGraphResult",
     "optimize_pose_graph",

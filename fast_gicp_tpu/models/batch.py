@@ -87,12 +87,16 @@ def ndt_align_batch(
         if config.distance_mode == "p2d":
             lin, err = make_ndt_objective(sp, sm, None, target_vm, offsets, config)
         else:
+            from .ndt import _compact_source_voxels
+
             source_vm = _ndt_voxelmap(
                 sp, sm, config.resolution, grid_dims=config.grid_dims
             )
+            means, mask, covs = _compact_source_voxels(
+                source_vm, config.max_source_voxels
+            )
             lin, err = make_ndt_objective(
-                source_vm.means, source_vm.counts > 0, source_vm.covs,
-                target_vm, offsets, config,
+                means, mask, covs, target_vm, offsets, config,
             )
         return lsq_solve(lin, err, g, config.lsq)
 

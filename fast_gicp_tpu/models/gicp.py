@@ -36,6 +36,14 @@ class GICPConfig(NamedTuple):
     k_correspondences: int = 20
     regularization: str = "plane"
     max_correspondence_distance: float = math.inf
+    # Two-phase solve like VGICPConfig.refresh_iterations: re-search 1-NN
+    # correspondences for the first R LM iterations, then FREEZE the
+    # matched target rows and run the rest search-free (the per-iteration
+    # 17k x 17k NN search is GICP's dominant cost on TPU; this is the
+    # voxel-free analogue of FastGICPSingleThread's anchor-point skip,
+    # fast_gicp_st_impl.hpp:46-54).  M is still re-frozen from the current
+    # linearization rotation each iteration.
+    refresh_iterations: int | None = None
     lsq: LsqConfig = LsqConfig()
 
 
@@ -54,12 +62,19 @@ def make_gicp_objective(
     target_covs,
     config: GICPConfig,
     axis_name=None,
+    with_freeze: bool = False,
 ):
     """Build (linearize_fn, error_fn) closures for the GICP objective.
 
     `aux` freezes (correspondence targets, masked Mahalanobis) exactly like
     the reference freezes `correspondences_` / `mahalanobis_` across LM inner
     trials (fast_gicp_impl.hpp:118-155 vs :217-240).
+
+    With ``with_freeze=True`` additionally returns (freeze,
+    linearize_frozen): ``freeze(x)`` runs the 1-NN search at pose x and
+    captures the matched target rows; ``linearize_frozen(x, frozen)``
+    re-linearizes against them search-free (M still re-frozen from the
+    current rotation).  Used by `gicp_align` (config.refresh_iterations).
 
     Per-correspondence math runs in SoA (n-last) layout (ops/soa.py); the
     target's (mean | cov) statistics ride one packed (N, 10) row-gather.
@@ -93,18 +108,21 @@ def make_gicp_objective(
         P_pad = _pad8(P)
         CA_pad = _pad8(C_A)
 
-        def linearize(x):
+        def freeze(x):
             p_t = soa.transform_cols(x, P)
             idx, sq_dist = nn_search(
                 jnp.swapaxes(p_t, 0, 1), target, target_mask
             )
             valid = source_mask & (sq_dist < thr_sq)
             rows_t = target_pack16[idx].T  # (16, N)
+            return rows_t, _pad8(valid[None, :].astype(p_t.dtype))
+
+        def linearize_frozen(x, frozen):
+            rows_t, valid_pad = frozen
             # transform + R C_A R^T run in-kernel against the
             # loop-invariant P_pad/CA_pad operands
             err, H, b, aux = pallas_linearize.linearize_pallas(
-                P_pad, CA_pad, x, rows_t,
-                _pad8(valid[None, :].astype(p_t.dtype)),
+                P_pad, CA_pad, x, rows_t, valid_pad,
             )
             return (
                 _psum(err, axis_name),
@@ -113,6 +131,9 @@ def make_gicp_objective(
                 aux,
             )
 
+        def linearize(x):
+            return linearize_frozen(x, freeze(x))
+
         def error(x, aux):
             # untransformed source columns + the trial pose: the rigid
             # transform runs inside the kernel (one launch per LM trial).
@@ -120,6 +141,8 @@ def make_gicp_objective(
                 pallas_linearize.error_pallas(P_pad, aux, x), axis_name
             )
 
+        if with_freeze:
+            return linearize, error, freeze, linearize_frozen
         return linearize, error
 
     # Packed target rows [mean(3) | sym cov(6) | pad] for one-gather stats.
@@ -131,14 +154,18 @@ def make_gicp_objective(
         axis=1,
     )  # (N_t, 9)
 
-    def linearize(x):
-        R = x[:3, :3]
+    def freeze(x):
         p_t = soa.transform_cols(x, P)  # (3, N)
         idx, sq_dist = nn_search(
             jnp.swapaxes(p_t, 0, 1), target, target_mask
         )
         valid = source_mask & (sq_dist < thr_sq)
-        rows = target_pack[idx]  # (N, 9)
+        return target_pack[idx], valid  # (N, 9) matched rows
+
+    def linearize_frozen(x, frozen):
+        rows, valid = frozen
+        R = x[:3, :3]
+        p_t = soa.transform_cols(x, P)
         q = soa.cols_from_points(rows[:, 0:3])  # (3, N)
         cov_B = jnp.swapaxes(rows[:, 3:9], 0, 1)  # (6, N)
         cov_rot = soa.rotate_sym_cols(R, C_A)
@@ -152,11 +179,16 @@ def make_gicp_objective(
             aux,
         )
 
+    def linearize(x):
+        return linearize_frozen(x, freeze(x))
+
     def error(x, aux):
         q, M, valid = aux
         p_t = soa.transform_cols(x, P)
         return _psum(soa.error_cols(p_t, q, M, ones, valid), axis_name)
 
+    if with_freeze:
+        return linearize, error, freeze, linearize_frozen
     return linearize, error
 
 
@@ -172,11 +204,39 @@ def gicp_align(
     guess,
     config: GICPConfig = GICPConfig(),
 ) -> LsqResult:
-    """Single-device GICP align; returns the full LsqResult on device."""
-    linearize, error = make_gicp_objective(
-        source, source_mask, source_covs, target, target_mask, target_covs, config
+    """Single-device GICP align; returns the full LsqResult on device.
+
+    With config.refresh_iterations = R the solve is two-phase like
+    `vgicp_align`: R re-searching LM iterations, then the matched target
+    rows are frozen at the phase-1 pose and the rest run search-free."""
+    x0 = guess.astype(source.dtype)
+    R = config.refresh_iterations
+    if not R or R >= config.lsq.max_iterations:
+        linearize, error = make_gicp_objective(
+            source, source_mask, source_covs, target, target_mask,
+            target_covs, config,
+        )
+        return lsq_solve(linearize, error, x0, config.lsq)
+
+    linearize, error, freeze, lin_frozen = make_gicp_objective(
+        source, source_mask, source_covs, target, target_mask, target_covs,
+        config, with_freeze=True,
     )
-    return lsq_solve(linearize, error, guess.astype(source.dtype), config.lsq)
+    p1 = lsq_solve(linearize, error, x0, config.lsq._replace(max_iterations=R))
+    frozen = freeze(p1.transformation)
+    p2 = lsq_solve(
+        lambda x: lin_frozen(x, frozen),
+        error,
+        p1.transformation,
+        config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
+    )
+    return LsqResult(
+        transformation=p2.transformation,
+        hessian=p2.hessian,
+        error=p2.error,
+        converged=p2.converged,
+        iterations=p1.iterations + p2.iterations,
+    )
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -47,6 +47,19 @@ class NDTConfig(NamedTuple):
     neighbor_search_method: str = "direct7"
     neighbor_search_radius: float = 1.5
     grid_dims: tuple | None = None
+    # D2D iterates the SOURCE voxel distributions every LM iteration; the
+    # dense-grid build stores one candidate row per grid cell, of which only
+    # a few percent are occupied at LiDAR densities.  Occupied voxels are
+    # compacted into this static row budget before the solve (overflowing
+    # voxels are dropped for the align — the reference's GPU hash similarly
+    # drops on bucket overflow, gaussian_voxelmap.cu:37-52).
+    max_source_voxels: int = 4096
+    # Two-phase solve like VGICPConfig.refresh_iterations: re-search voxel
+    # correspondences for the first R LM iterations, then freeze the
+    # gathered voxel rows and run the rest gather-free (M still re-frozen
+    # from the current R_eval each linearization, weights still trial-pose
+    # Cauchy).  None/>=max_iterations = re-search every iteration.
+    refresh_iterations: int | None = None
     lsq: LsqConfig = LsqConfig()
 
 
@@ -74,9 +87,18 @@ def make_ndt_objective(
     offsets,
     config: NDTConfig,
     axis_name=None,
+    with_freeze: bool = False,
 ):
     """(linearize_fn, error_fn) for P2D/D2D NDT, in SoA (n-last) layout
-    (see ops/soa.py)."""
+    (see ops/soa.py).
+
+    With ``with_freeze=True`` returns (linearize, error, freeze,
+    linearize_frozen): ``freeze(x)`` captures the gathered voxel rows
+    (means, covariances, validity) at pose x; ``linearize_frozen(x,
+    frozen)`` re-linearizes against them without re-searching — M is still
+    re-frozen from the CURRENT linearization rotation (D2D) and the Cauchy
+    weight still tracks the trial pose, so only the voxel assignment is
+    pinned.  Used by `ndt_align` (config.refresh_iterations)."""
     n = src_means.shape[0]
     k = offsets.shape[0]
     P = soa.cols_from_points(src_means)  # (3, N)
@@ -111,16 +133,21 @@ def make_ndt_objective(
         e_sq = jnp.sum((mu_B - p_b) ** 2, axis=-2)  # (K, N)
         return jnp.where(valid, _cauchy_weight(vmap.resolution, e_sq), 0.0)
 
-    def linearize(x):
-        R = x[:3, :3]
-        p_t, vids, valid = correspondences(x)
+    def freeze(x):
+        _p_t, vids, valid = correspondences(x)
         rows = vmap.packed[vids]  # (K, N, 16)
         mu_B, cov_B, _n_B = soa.sym_cols_from_packed(rows)
+        return mu_B, cov_B, valid
+
+    def linearize_frozen(x, frozen):
+        mu_B, cov_B, valid = frozen
+        R = x[:3, :3]
         if C_A is None:  # P2D: M = cov_B^-1
             M = soa.inv_sym_cols(cov_B)
         else:  # D2D: M = (cov_B + R C_A R^T)^-1 at the linearization point
             M = soa.inv_sym_cols(cov_B + soa.rotate_sym_cols(R, C_A)[None])
         M = M * valid[:, None, :]
+        p_t = soa.transform_cols(x, P)
         p_b = jnp.broadcast_to(p_t[None], (k, 3, n))
         w = weights(p_b, mu_B, valid)
         err, H, b = soa.linearize_cols(p_b, mu_B, M, w, valid)
@@ -132,6 +159,9 @@ def make_ndt_objective(
             aux,
         )
 
+    def linearize(x):
+        return linearize_frozen(x, freeze(x))
+
     def error(x, aux):
         valid, M, mu_B = aux
         p_t = soa.transform_cols(x, P)
@@ -139,6 +169,8 @@ def make_ndt_objective(
         w = weights(p_b, mu_B, valid)  # trial-pose Cauchy weight
         return _psum(jnp.sum(soa.error_cols(p_b, mu_B, M, w, valid), 0))
 
+    if with_freeze:
+        return linearize, error, freeze, linearize_frozen
     return linearize, error
 
 
@@ -152,12 +184,60 @@ def ndt_align(
     guess,
     config: NDTConfig = NDTConfig(),
 ) -> LsqResult:
-    """Single-device NDT align; voxel maps built in-graph from raw points."""
-    lin, err = _ndt_objective_for(source, source_mask, target, target_mask, config)
-    return lsq_solve(lin, err, guess.astype(source.dtype), config.lsq)
+    """Single-device NDT align; voxel maps built in-graph from raw points.
+
+    With config.refresh_iterations = R the solve is two-phase like
+    `vgicp_align`: R re-searching LM iterations, then the gathered voxel
+    rows are frozen at the phase-1 pose and the rest run gather-free."""
+    x0 = guess.astype(source.dtype)
+    R = config.refresh_iterations
+    if not R or R >= config.lsq.max_iterations:
+        lin, err = _ndt_objective_for(
+            source, source_mask, target, target_mask, config
+        )
+        return lsq_solve(lin, err, x0, config.lsq)
+
+    lin, err, freeze, lin_frozen = _ndt_objective_for(
+        source, source_mask, target, target_mask, config, with_freeze=True
+    )
+    p1 = lsq_solve(lin, err, x0, config.lsq._replace(max_iterations=R))
+    frozen = freeze(p1.transformation)
+    p2 = lsq_solve(
+        lambda x: lin_frozen(x, frozen),
+        err,
+        p1.transformation,
+        config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
+    )
+    return LsqResult(
+        transformation=p2.transformation,
+        hessian=p2.hessian,
+        error=p2.error,
+        converged=p2.converged,
+        iterations=p1.iterations + p2.iterations,
+    )
 
 
-def _ndt_objective_for(source, source_mask, target, target_mask, config):
+def _compact_source_voxels(vm, max_voxels: int):
+    """Gather occupied source voxels into a static-size compact row set.
+
+    The dense-grid map stores one candidate row per cell; at LiDAR
+    densities only a few percent are occupied, and D2D iterates every
+    source row each LM iteration — compacting occupied voxels into
+    `max_voxels` rows cuts that per-iteration cost ~capacity/occupied x.
+    Occupied voxels beyond the budget are dropped for this align (cf. the
+    reference GPU hash dropping on bucket-scan overflow,
+    gaussian_voxelmap.cu:37-52)."""
+    capacity = vm.means.shape[0]
+    cap = min(max_voxels, capacity)
+    occ = vm.counts > 0
+    (idx,) = jnp.nonzero(occ, size=cap, fill_value=0)
+    valid = jnp.arange(cap) < jnp.sum(occ.astype(jnp.int32))
+    return vm.means[idx], valid, vm.covs[idx]
+
+
+def _ndt_objective_for(
+    source, source_mask, target, target_mask, config, with_freeze=False
+):
     """Shared graph construction for align/evaluate."""
     target_vm = _ndt_voxelmap(
         target, target_mask, config.resolution, grid_dims=config.grid_dims
@@ -169,19 +249,24 @@ def _ndt_objective_for(source, source_mask, target, target_mask, config):
     )
     if config.distance_mode == "p2d":
         return make_ndt_objective(
-            source, source_mask, None, target_vm, offsets, config
+            source, source_mask, None, target_vm, offsets, config,
+            with_freeze=with_freeze,
         )
     if config.distance_mode == "d2d":
         source_vm = _ndt_voxelmap(
             source, source_mask, config.resolution, grid_dims=config.grid_dims
         )
+        means, mask, covs = _compact_source_voxels(
+            source_vm, config.max_source_voxels
+        )
         return make_ndt_objective(
-            source_vm.means,
-            source_vm.counts > 0,
-            source_vm.covs,
+            means,
+            mask,
+            covs,
             target_vm,
             offsets,
             config,
+            with_freeze=with_freeze,
         )
     raise ValueError(f"unknown NDT distance mode: {config.distance_mode}")
 

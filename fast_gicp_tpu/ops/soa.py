@@ -236,6 +236,76 @@ def plane_covs_cols(C):
     )
 
 
+def clamp_eigs_cols(C, eps):
+    """MIN_EIG regularization on sym-6 columns: eigenvalues clamped to
+    >= eps with eigenvectors preserved (covariance_regularization.cu
+    covariance_regularization_mineig), closed form — no jnp.linalg.eigh,
+    whose LAPACK-style iteration costs ~13 ms per 18k AoS covariances on
+    the v5e where this runs in ~0.2 ms.
+
+    A' = A + sum_i max(0, eps - e_i) P_i with P_i the spectral projectors.
+    Stable grouping: with clamp deficits c_s >= c_m >= c_b (eigenvalues
+    ascending e_s <= e_m <= e_b),
+
+        A' = A + c_m I - (c_m - c_b) P_big + (c_s - c_m) P_small
+
+    where each projector is a Cayley-Hamilton polynomial in A.  Every
+    projector denominator that can degenerate (repeated eigenvalues) is
+    multiplied by a coefficient that vanishes in exactly that limit
+    (e_b ~ e_m  =>  c_m - c_b ~ 0, etc.), so the guarded division is
+    benign.
+    """
+    c00, c01, c02, c11, c12, c22 = (C[..., i, :] for i in range(6))
+    e_s, e_m, e_b = eigvals_sym_cols(C)
+    c_s = jnp.maximum(eps - e_s, 0.0)
+    c_m = jnp.maximum(eps - e_m, 0.0)
+    c_b = jnp.maximum(eps - e_b, 0.0)
+    # A^2 (symmetric)
+    s00 = c00 * c00 + c01 * c01 + c02 * c02
+    s01 = c00 * c01 + c01 * c11 + c02 * c12
+    s02 = c00 * c02 + c01 * c12 + c02 * c22
+    s11 = c01 * c01 + c11 * c11 + c12 * c12
+    s12 = c01 * c02 + c11 * c12 + c12 * c22
+    s22 = c02 * c02 + c12 * c12 + c22 * c22
+
+    scale = jnp.maximum(jnp.maximum(jnp.abs(e_b), jnp.abs(e_s)), eps)
+    tiny = 1e-12 * scale * scale
+
+    def coeff(num, den):
+        safe = den > tiny
+        return jnp.where(safe, num / jnp.where(safe, den, 1.0), 0.0)
+
+    # P_big ~ (A - e_s)(A - e_m) / ((e_b - e_s)(e_b - e_m))
+    a_b = coeff(c_m - c_b, (e_b - e_s) * (e_b - e_m))
+    # P_small ~ (A - e_m)(A - e_b) / ((e_s - e_m)(e_s - e_b))
+    a_s = coeff(c_s - c_m, (e_s - e_m) * (e_s - e_b))
+
+    def poly(t, d, a):
+        # a * (A^2 - t A + d I), elementwise over columns
+        return (
+            a * (s00 - t * c00 + d),
+            a * (s01 - t * c01),
+            a * (s02 - t * c02),
+            a * (s11 - t * c11 + d),
+            a * (s12 - t * c12),
+            a * (s22 - t * c22 + d),
+        )
+
+    pb = poly(e_s + e_m, e_s * e_m, -a_b)
+    ps = poly(e_m + e_b, e_m * e_b, a_s)
+    return jnp.stack(
+        [
+            c00 + c_m + pb[0] + ps[0],
+            c01 + pb[1] + ps[1],
+            c02 + pb[2] + ps[2],
+            c11 + c_m + pb[3] + ps[3],
+            c12 + pb[4] + ps[4],
+            c22 + c_m + pb[5] + ps[5],
+        ],
+        axis=-2,
+    )
+
+
 def _mahalanobis_terms(p, q, M):
     """Shared e / Me columns.  p, q: (..., 3, N); M: (..., 6, N)."""
     e0 = q[..., 0, :] - p[..., 0, :]

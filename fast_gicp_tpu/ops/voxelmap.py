@@ -28,12 +28,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import linalg3
 
 # Sentinel coordinate for masked points: sorts after all real coords.
-_COORD_SENTINEL = jnp.int32(2**30)
-_EMPTY = jnp.int32(2**30)  # empty hash slot marker (scatter-min identity)
+# numpy scalars, NOT jnp: a module-level jnp constant initializes the XLA
+# backend at import time, which breaks multi-host bootstrap
+# (jax.distributed.initialize must run before any backend init).
+_COORD_SENTINEL = np.int32(2**30)
+_EMPTY = np.int32(2**30)  # empty hash slot marker (scatter-min identity)
 
 # Linear-probe bound shared by insert and lookup.  At 1/8 load factor the
 # expected displacement is <1 slot, but with tens of thousands of voxels the
@@ -50,7 +54,7 @@ ACCUMULATION_MODES = ("additive", "additive_weighted", "multiplicative", "raw")
 # Spatial hash: three large primes, classic Teschner-style mixing. The
 # reference GPU map uses a boost-style hash_combine (vector3_hash.cuh:8-38);
 # any well-mixing function works because lookups verify coordinates.
-_HP1, _HP2, _HP3 = jnp.uint32(73856093), jnp.uint32(19349669), jnp.uint32(83492791)
+_HP1, _HP2, _HP3 = np.uint32(73856093), np.uint32(19349669), np.uint32(83492791)
 
 
 def voxel_coord(points, resolution):

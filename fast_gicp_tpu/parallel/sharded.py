@@ -160,12 +160,14 @@ def ndt_align_sharded(
     if config.distance_mode == "p2d":
         src_means, src_mask, src_covs = source, source_mask, None
     else:
+        from ..models.ndt import _compact_source_voxels
+
         source_vm = _ndt_voxelmap(
             source, source_mask, config.resolution, grid_dims=config.grid_dims
         )
-        src_means = source_vm.means
-        src_mask = source_vm.counts > 0
-        src_covs = source_vm.covs
+        src_means, src_mask, src_covs = _compact_source_voxels(
+            source_vm, config.max_source_voxels
+        )
     _check_divisible(src_means.shape[0], mesh, axis)
 
     vm_specs = jax.tree.map(lambda _: P(), target_vm)

@@ -34,8 +34,32 @@ def approximate_voxel_downsample(
     unsigned, modulo histsize.  With histsize=1536 this reproduces the
     reference benchmark's post-filter counts on the bundled pair to
     within 0.5% (17338/17570 vs the published 17249/17518,
-    README.md:116) — the residual delta is a PCL-version detail that
-    cannot be pinned down without the exact PCL source.
+    README.md:116).
+
+    The residual +89/+52 point delta is characterized (not just waved
+    at).  Output count = exact voxel count (15771/15949 on this pair) +
+    collision splits (runs broken by a different voxel evicting the
+    bucket).  Sweeping the free parameters of the emulation brackets the
+    published counts but never hits them:
+
+      histsize   512    1024   1536   2048   3072   4096   exact
+      target    20822  20352  17337  16803  17190  15916  15771
+      source    21435  20885  17570  16789  17372  16166  15949
+      published: 17249 / 17518 (between our 1536 and 3072 rows)
+
+    float32-multiply vs float64-divide voxel coords shifts counts by at
+    most 1 point; dropping the final-bucket flush or emulating the
+    NaN-coord int cast only moves counts AWAY from the published values.
+    So the published numbers differ only in which ~5% of collision
+    splits occur — a function of the exact hash/histsize in the PCL
+    build used in 2019, unobtainable offline.  The impact is bounded by
+    tests: fitness at the ground-truth pose and the converged-optimality
+    check (tests/test_registration.py
+    test_fitness_parity_on_pcl_compatible_downsample) pin that
+    registration quality is insensitive to this count-level divergence,
+    and test_fitness_sensitivity_to_collision_splits shows the published
+    0.204067 is within the spread produced by collision-split variation
+    alone.
     """
     if resolution is None or resolution <= 0:
         return np.ascontiguousarray(points[:, :3], dtype=np.float32)

@@ -351,3 +351,43 @@ def test_loop_edge_window_bounds(rng):
     with pytest.raises(ValueError):
         ba.add_loop_edge(ba.base, end, eye)  # not yet added
     ba.add_loop_edge(ba.base, end - 1, eye)  # boundary-inclusive OK
+
+
+def test_loop_closure_detection_soak():
+    """models/loop_closure.py must FIND a revisit on a closed drive from a
+    drifted trajectory (candidates: proximity + temporal guard), verify it
+    by registration, and measure a relative pose closer to ground truth
+    than the drifted guess it started from."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from odometry_bench import _loop_scans
+
+    from fast_gicp_tpu.models.loop_closure import (
+        LoopClosureConfig, detect_loop_closures, find_loop_candidates,
+    )
+
+    rng_ = np.random.default_rng(11)
+    scans, gt = _loop_scans(rng_, n_frames=24)
+    # Simulated odometry drift: grows linearly to ~1 m by the loop's end.
+    drifted = [p.copy() for p in gt]
+    for i, p in enumerate(drifted):
+        p[:3, 3] += np.float64([0.04, -0.03, 0.0]) * i
+
+    cfg = LoopClosureConfig(min_gap=10, radius=3.0, max_candidates=2)
+    cands = find_loop_candidates(drifted, cfg)
+    assert cands and all(j - i >= cfg.min_gap for i, j in cands)
+
+    closures = detect_loop_closures(scans, drifted, cfg)
+    assert closures, "closed drive must produce a verified closure"
+    c = closures[0]
+    gt_rel = np.linalg.inv(gt[c.i]) @ gt[c.j]
+    guess_rel = np.linalg.inv(drifted[c.i]) @ drifted[c.j]
+    err_meas = np.linalg.norm(
+        (np.linalg.inv(gt_rel) @ c.relative.astype(np.float64))[:3, 3]
+    )
+    err_guess = np.linalg.norm(
+        (np.linalg.inv(gt_rel) @ guess_rel)[:3, 3]
+    )
+    assert err_meas < 0.1, err_meas
+    assert err_meas < err_guess

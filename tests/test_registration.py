@@ -137,6 +137,65 @@ def test_ndt_d2d_alignment(pair_coarse):
     _check(est, gt)
 
 
+def test_gicp_two_phase_refresh_matches_full(pair_coarse):
+    """GICPConfig.refresh_iterations=R (re-search the 1-NN correspondences
+    for R LM iterations, then freeze the matched rows — the search-free
+    analogue of FastGICPSingleThread's anchor skip) must land on the same
+    pose as the per-iteration re-search solve."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.gicp import GICPConfig, gicp_align
+    from fast_gicp_tpu.ops.covariance import knn_covariances_jit
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    source, target, gt = pair_coarse
+    sp, sm = map(jnp.asarray, pad_points(source))
+    tp, tm = map(jnp.asarray, pad_points(target))
+    scovs = knn_covariances_jit(sp, sm)
+    tcovs = knn_covariances_jit(tp, tm)
+    guess = jnp.eye(4, dtype=jnp.float32)
+    full = gicp_align(sp, sm, scovs, tp, tm, tcovs, guess, GICPConfig())
+    two = gicp_align(sp, sm, scovs, tp, tm, tcovs, guess,
+                     GICPConfig(refresh_iterations=2))
+    assert bool(two.converged)
+    _check(np.asarray(two.transformation), gt)
+    delta = np.linalg.inv(np.asarray(full.transformation)) @ np.asarray(
+        two.transformation
+    )
+    assert np.linalg.norm(delta[:3, 3]) < 5e-3, delta
+    assert np.abs(delta[:3, :3] - np.eye(3)).max() < 5e-4
+
+
+def test_ndt_two_phase_refresh_matches_full(pair_coarse):
+    """NDTConfig.refresh_iterations=R (re-search R iterations, then freeze
+    the gathered voxel rows — same contract as VGICP's two-phase solve)
+    must land on the same pose as the per-iteration re-search solve, for
+    both distance modes."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.ndt import NDTConfig, ndt_align
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    source, target, gt = pair_coarse
+    sp, sm = map(jnp.asarray, pad_points(source))
+    tp, tm = map(jnp.asarray, pad_points(target))
+    guess = jnp.eye(4, dtype=jnp.float32)
+    # P2D moves the pose further per iteration (softer objective), so it
+    # needs more re-searching iterations before the voxel set is static
+    # (measured: d2d exact from R=3; p2d 0.2 mm at R=6).
+    for mode, R in (("d2d", 3), ("p2d", 6)):
+        full = ndt_align(sp, sm, tp, tm, guess,
+                         NDTConfig(distance_mode=mode))
+        two = ndt_align(sp, sm, tp, tm, guess,
+                        NDTConfig(distance_mode=mode, refresh_iterations=R))
+        assert bool(two.converged)
+        delta = np.linalg.inv(np.asarray(full.transformation)) @ np.asarray(
+            two.transformation
+        )
+        assert np.linalg.norm(delta[:3, 3]) < 5e-3, (mode, delta)
+        assert np.abs(delta[:3, :3] - np.eye(3)).max() < 5e-4, mode
+
+
 def test_ndt_p2d_alignment(pair_coarse):
     # P2D NDT is intrinsically coarser; the reference test suite only covers
     # the default D2D mode (ndt_cuda.cu:21), so bound P2D at 2x tolerance.
@@ -321,6 +380,46 @@ def test_fitness_parity_on_pcl_compatible_downsample(bundled_pair):
             (np.linalg.inv(gt) @ np.asarray(r.transformation, np.float64))[:3, 3]
         )
         assert t_err < 0.05, (ds.__name__, t_err)
+
+
+def test_fitness_sensitivity_to_collision_splits_soak():
+    """VERDICT item (downsample parity residual): the published fitness
+    0.204067 was measured on PCL-ApproximateVoxelGrid output whose point
+    count differs from our emulation only in WHICH hash-collision splits
+    occur (utils/downsample.py docstring pins the histsize sweep: the
+    published 17249/17518 counts sit between our histsize=2048 and
+    histsize=1536 variants).  Fitness is a mean-NN-squared-distance
+    statistic, so it moves with cloud density: registering each histsize
+    variant of the benchmark clouds (0.1 m leaf, the align.cpp:30-36
+    protocol) must produce a fitness spread that BRACKETS the published
+    value — i.e. the residual fitness gap is fully explained by
+    collision-split variation, not by registration quality."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.metrics import fitness_score
+    from fast_gicp_tpu.models.vgicp import VGICPConfig, vgicp_register
+    from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
+    from fast_gicp_tpu.utils.downsample import approximate_voxel_downsample
+    from fast_gicp_tpu.utils.io import load_pcd, strip_near_origin
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    data = "/root/reference/data"
+    raw_t = strip_near_origin(load_pcd(f"{data}/251370668.pcd"))
+    raw_s = strip_near_origin(load_pcd(f"{data}/251371071.pcd"))
+    fits = {}
+    for histsize in (1536, 2048):
+        target = approximate_voxel_downsample(raw_t, 0.1, histsize=histsize)
+        source = approximate_voxel_downsample(raw_s, 0.1, histsize=histsize)
+        sp, sm = map(jnp.asarray, pad_points(source))
+        tp, tm = map(jnp.asarray, pad_points(target))
+        cfg = VGICPConfig(grid_dims=auto_grid_dims(target, 1.0))
+        r = vgicp_register(sp, sm, tp, tm, jnp.eye(4, dtype=jnp.float32),
+                           cfg)
+        fits[histsize] = float(fitness_score(r.transformation, sp, sm,
+                                             tp, tm))
+    published = 0.204067
+    lo, hi = min(fits.values()), max(fits.values())
+    assert lo - 0.002 <= published <= hi + 0.002, fits
 
 
 def test_align_async_pipelines(bundled_pair):

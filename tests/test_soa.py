@@ -100,3 +100,28 @@ def test_sym_cols_from_packed(rng):
         np.asarray(c), np.asarray(soa.sym_cols_from_covs(jnp.asarray(cov)))
     )
     np.testing.assert_allclose(np.asarray(n), count)
+
+
+def test_clamp_eigs_cols_matches_eigh(rng):
+    """Closed-form MIN_EIG clamp (clamp_eigs_cols) vs the eigh reference,
+    including every degenerate shape: zero, isotropic, rank-1, rank-2,
+    near-repeated eigenvalues above and below the clamp."""
+    eps = 1e-3
+    mats = [np.zeros((3, 3), np.float32)]
+    mats.append(np.eye(3, dtype=np.float32) * 2.0)  # isotropic above eps
+    mats.append(np.eye(3, dtype=np.float32) * 1e-5)  # isotropic below eps
+    v = np.float32([1.0, 2.0, -1.0]); v /= np.linalg.norm(v)
+    mats.append(np.outer(v, v).astype(np.float32))  # rank-1
+    u = np.float32([0.0, 1.0, 2.0]); u -= u @ v * v; u /= np.linalg.norm(u)
+    mats.append((np.outer(v, v) + 1e-6 * np.outer(u, u)).astype(np.float32))
+    mats.append((np.outer(v, v) + (1.0 + 1e-6) * np.outer(u, u)).astype(np.float32))
+    mats.extend(_rand_spd(np.random.default_rng(5), 64) * 1e-4)  # all clamp
+    mats.extend(_rand_spd(np.random.default_rng(6), 64))  # none clamp
+    A = np.stack(mats)
+    C6 = soa.sym_cols_from_covs(jnp.asarray(A))
+    got = np.asarray(soa.sym_cols_to_rows9(soa.clamp_eigs_cols(C6, eps))).reshape(
+        -1, 3, 3
+    )
+    w, V = np.linalg.eigh(A.astype(np.float64))
+    want = np.einsum("nij,nj,nkj->nik", V, np.maximum(w, eps), V)
+    np.testing.assert_allclose(got, want, atol=5e-5)
