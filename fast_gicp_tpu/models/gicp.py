@@ -268,7 +268,7 @@ class FastGICP(Registration):
 
     k_correspondences: int = 20
     regularization: str = "plane"
-    covariance_estimation: str = "knn"  # "knn" | "rbf" | "kdtree"
+    covariance_estimation: str = "knn"  # "knn"|"rbf"|"kdtree"|"adaptive"
     kernel_width: float = 0.5
     kernel_max_dist: float = 3.0
 

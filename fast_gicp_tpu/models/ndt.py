@@ -114,29 +114,23 @@ def make_ndt_objective(
     def _psum(v):
         return v if axis_name is None else jax.lax.psum(v, axis_name)
 
-    def correspondences(x):
+    def weights(p_b, mu_B, valid):
+        e_sq = jnp.sum((mu_B - p_b) ** 2, axis=-2)  # (K, N)
+        return jnp.where(valid, _cauchy_weight(vmap.resolution, e_sq), 0.0)
+
+    def freeze(x):
         p_t = soa.transform_cols(x, P)  # (3, N)
         coords = jnp.floor(p_t / vmap.resolution - 0.5).astype(jnp.int32)
         qx = coords[0][None, :] + offs[0]  # (K, N)
         qy = coords[1][None, :] + offs[1]
         qz = coords[2][None, :] + offs[2]
         vids = lookup_voxels_cols(vmap, qx, qy, qz)
-        safe = jnp.maximum(vids, 0)
-        valid = (
-            (vids >= 0)
-            & src_mask[None, :]
-            & (vmap.counts[safe] > _MIN_VOXEL_POINTS)
-        )
-        return p_t, safe, valid
-
-    def weights(p_b, mu_B, valid):
-        e_sq = jnp.sum((mu_B - p_b) ** 2, axis=-2)  # (K, N)
-        return jnp.where(valid, _cauchy_weight(vmap.resolution, e_sq), 0.0)
-
-    def freeze(x):
-        _p_t, vids, valid = correspondences(x)
-        rows = vmap.packed[vids]  # (K, N, 16)
-        mu_B, cov_B, _n_B = soa.sym_cols_from_packed(rows)
+        rows = vmap.packed[jnp.maximum(vids, 0)]  # (K, N, 16)
+        mu_B, cov_B, n_B = soa.sym_cols_from_packed(rows)
+        # The voxel point count rides in the gathered packed rows — a
+        # separate `counts[vids]` would be a 1-D int32 gather (scalar-core,
+        # ~1 ms per refresh iteration at 7 x 16k queries).
+        valid = (vids >= 0) & src_mask[None, :] & (n_B > _MIN_VOXEL_POINTS)
         return mu_B, cov_B, valid
 
     def linearize_frozen(x, frozen):

@@ -507,7 +507,7 @@ class FastVGICP(Registration):
     voxel_accumulation: str = "additive"
     k_correspondences: int = 20
     regularization: str = "plane"
-    covariance_estimation: str = "knn"  # "knn" | "rbf"
+    covariance_estimation: str = "knn"  # "knn"|"rbf"|"adaptive"
     kernel_width: float = 0.5
     kernel_max_dist: float = 3.0
     # "auto": dense grid sized from the target extent (fastest); None: hash

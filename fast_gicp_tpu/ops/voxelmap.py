@@ -230,6 +230,13 @@ class GridVoxelMap(NamedTuple):
     resolution: jax.Array  # () f32
     packed: jax.Array  # (C, 16) f32 [mean(3), cov(9), count, pad(3)]
     grid: jax.Array  # (Dx, Dy, Dz) int32 -> voxel index or -1
+    # (Dx*Dy*Dz/8 + 1, 8) duplicate of `grid` for the hot lookup: a 1-D
+    # int32 gather lowers to a scalar-core kernel (~2 ms per NDT-P2D
+    # refresh iteration at 7 x 16k queries); an 8-wide ROW gather + one-hot
+    # lane pick rides the vector path instead (same trick as
+    # DenseRawGridMap.grid8).  The last row is an all--1 sentinel so parked
+    # (out-of-grid) queries resolve to miss with no extra select.
+    grid8: jax.Array
     origin: jax.Array  # (3,) int32 voxel coord of grid[0, 0, 0]
 
 
@@ -470,15 +477,25 @@ def _build_grid_voxelmap(points, mask, resolution, covs, mode, grid_dims):
     flat = jnp.where(inside, flat, ncells)  # park masked/outside points
 
     point_idx = jnp.arange(n, dtype=jnp.int32)
-    claim = jnp.full(ncells + 1, n, jnp.int32).at[flat].min(point_idx)
-    rep = claim[flat]  # (N,) voxel id (= representative point) per point
+    # Pad the claim table to whole 8-lane rows plus one all-sentinel row so
+    # it doubles as the `grid8` lookup array (see GridVoxelMap.grid8).
+    npad = ((ncells + 8) + 7) // 8 * 8
+    claim = jnp.full(npad, n, jnp.int32).at[flat].min(point_idx)
+    # (N,) voxel id (= representative point) per point — row gather + lane
+    # pick, not a 1-D gather (see GridVoxelMap.grid8)
+    rep = _pick8(claim.reshape(npad // 8, 8), flat)
 
     contrib = _mode_contrib(points, inside, covs, mode)
     vid = jnp.where(inside, rep, n)
     acc = (jnp.zeros((n + 1, 13), dtype).at[vid].add(contrib))[:n]
     means, covs_out, counts = _finalize(acc, mode)
 
-    grid = jnp.where(claim[:ncells] < n, claim[:ncells], -1).reshape(gx, gy, gz)
+    vids_flat = jnp.where(claim < n, claim, -1)
+    # Sentinel tail: parked (outside/masked) points scatter into slot
+    # `ncells`, so force the whole pad region back to miss.
+    vids_flat = vids_flat.at[ncells:].set(-1)
+    grid = vids_flat[:ncells].reshape(gx, gy, gz)
+    grid8 = vids_flat.reshape(npad // 8, 8)
     return GridVoxelMap(
         means=means,
         covs=covs_out,
@@ -488,6 +505,7 @@ def _build_grid_voxelmap(points, mask, resolution, covs, mode, grid_dims):
         resolution=jnp.asarray(resolution, dtype),
         packed=_pack(means, covs_out, counts, dtype),
         grid=grid,
+        grid8=grid8,
         origin=origin,
     )
 
@@ -545,12 +563,14 @@ def lookup_voxels(vmap, query_coords):
     """
     if isinstance(vmap, GridVoxelMap):
         gx, gy, gz = vmap.grid.shape
+        ncells = gx * gy * gz
         rel = query_coords - vmap.origin
         dims = jnp.asarray([gx, gy, gz], jnp.int32)
         inside = jnp.all((rel >= 0) & (rel < dims), axis=-1)
         flat = (rel[..., 0] * gy + rel[..., 1]) * gz + rel[..., 2]
-        vid = vmap.grid.reshape(-1)[jnp.where(inside, flat, 0)]
-        return jnp.where(inside, vid, -1)
+        # row gather + lane pick (never a 1-D gather); parked queries hit
+        # the all--1 sentinel tail, so no post-select is needed
+        return _pick8(vmap.grid8, jnp.where(inside, flat, ncells))
     return lookup_lut(vmap.lut, query_coords)
 
 
@@ -563,6 +583,7 @@ def lookup_voxels_cols(vmap, cx, cy, cz):
     """
     if isinstance(vmap, GridVoxelMap):
         gx, gy, gz = vmap.grid.shape
+        ncells = gx * gy * gz
         rx = cx - vmap.origin[0]
         ry = cy - vmap.origin[1]
         rz = cz - vmap.origin[2]
@@ -570,8 +591,9 @@ def lookup_voxels_cols(vmap, cx, cy, cz):
             (rx >= 0) & (rx < gx) & (ry >= 0) & (ry < gy) & (rz >= 0) & (rz < gz)
         )
         flat = (rx * gy + ry) * gz + rz
-        vid = vmap.grid.reshape(-1)[jnp.where(inside, flat, 0)]
-        return jnp.where(inside, vid, -1)
+        # row gather + lane pick (see GridVoxelMap.grid8); parked queries
+        # resolve to -1 via the sentinel tail
+        return _pick8(vmap.grid8, jnp.where(inside, flat, ncells))
     table_size = vmap.table.shape[0]
     h = (
         (cx.astype(jnp.uint32) * _HP1)

@@ -87,6 +87,89 @@ def test_nn_search_matches_xla(rng):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_nn_search_culling_edge_cases(rng):
+    """The two-pass tile culling must stay EXACT when its pass-1 heuristic
+    misses: query tiles entirely outside the target extent (no gap-0 tile
+    -> BIG bound fallback), spatially sorted clouds (tight disjoint tile
+    bboxes -> aggressive pass-2 culling), and heavily masked targets."""
+    from fast_gicp_tpu.ops import neighbors, pallas_kernels
+
+    nq, nt = 1024, 2048
+    # sorted query cloud: two distant clusters, lexicographically ordered
+    a = rng.normal(size=(nq // 2, 3)) * 2.0
+    b = rng.normal(size=(nq // 2, 3)) * 2.0 + np.float32([200.0, 0, 0])
+    q = np.concatenate([a, b]).astype(np.float32)
+    q = q[np.lexsort(q.T[::-1])]
+    # target covers only the FIRST cluster -> every far-cluster query tile
+    # has gap > 0 to all target tiles and must take the fallback row
+    t = (rng.normal(size=(nt, 3)) * 2.0).astype(np.float32)
+    t = t[np.lexsort(t.T[::-1])]
+    tmask = rng.uniform(size=nt) > 0.5  # heavy masking
+
+    idx_p, sq_p = pallas_kernels.nn_search_pallas(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(tmask),
+        interpret=INTERPRET)
+    idx_x, sq_x = neighbors.nn_search(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(tmask))
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    np.testing.assert_allclose(np.asarray(sq_p), np.asarray(sq_x),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_radius_window_moments_matches_xla_fallback(rng):
+    """Adaptive-radius covariance kernel (interpret) vs the chunked-XLA
+    fallback: same ladder semantics, so counts/rungs must agree exactly and
+    moments to bf16-split accumulation noise."""
+    from fast_gicp_tpu.ops import covariance, pallas_kernels
+
+    n = 2048
+    pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 5)
+    mask = jnp.asarray(rng.uniform(size=n) > 0.1)
+    r2 = jnp.asarray(covariance.default_radius_ladder())
+    mvalid = mask.astype(jnp.float32)
+    center = jnp.sum(pts * mvalid[:, None], 0) / jnp.sum(mvalid)
+
+    m_k = pallas_kernels.radius_window_moments_T(
+        pts, mask, pts, mask, r2, 20, center, interpret=INTERPRET)
+    m_x = covariance._radius_window_moments_xla(pts, mask, r2, 20, center)
+    # masked QUERY rows are garbage in both paths (the kernel parks them
+    # at MASK_COORD, the fallback does not) — compare valid rows only
+    v = np.asarray(mask)
+    # counts are integers accumulated in f32 — exact
+    np.testing.assert_array_equal(np.asarray(m_k[0])[v], np.asarray(m_x[0])[v])
+    # full-f32 moment matmul (see _window_kernel): near-exact, only
+    # summation order differs from the fallback
+    np.testing.assert_allclose(np.asarray(m_k[:13])[:, v],
+                               np.asarray(m_x[:13])[:, v],
+                               rtol=2e-5, atol=1e-3)
+
+
+def test_adaptive_radius_covariances_match_knn(rng):
+    """The adaptive estimator's plane-regularized covariances must agree
+    with the kNN estimator's on the dominant statistic (the plane normal):
+    both describe the same local surface."""
+    from fast_gicp_tpu.ops.covariance import (
+        adaptive_radius_covariances, knn_covariances,
+    )
+
+    n = 2048
+    # a bumpy surface — realistic neighborhood anisotropy
+    xy = rng.uniform(-10, 10, size=(n, 2)).astype(np.float32)
+    z = (0.3 * np.sin(xy[:, 0]) + 0.05 * rng.normal(size=n)).astype(np.float32)
+    pts = jnp.asarray(np.column_stack([xy, z]))
+    mask = jnp.ones(n, bool)
+
+    c_a = np.asarray(adaptive_radius_covariances(pts, mask, k=20))
+    c_k = np.asarray(knn_covariances(pts, mask, k=20, approx=False))
+    # plane regularization -> covs are I - (1 - eps) n n^T; compare the
+    # implied normals via the covariance difference norm
+    # (identical normals -> identical matrices)
+    diff = np.linalg.norm(c_a - c_k, axis=(1, 2))
+    # allow a small tail of genuinely ambiguous neighborhoods
+    assert np.quantile(diff, 0.9) < 0.35, np.quantile(diff, 0.9)
+    assert np.median(diff) < 0.12, np.median(diff)
+
+
 def _rbf_reference(points, mask, kernel_width, max_dist):
     """Dense f64 reference for the RBF raw moments."""
     x = np.asarray(points, np.float64)

@@ -68,6 +68,21 @@ def test_vgicp_alignment(pair_coarse):
     _forward_backward_swap(FastVGICP(), pair_coarse)
 
 
+def test_gicp_adaptive_radius_covariances(pair_coarse):
+    """GICP with the TPU-native adaptive-radius covariance estimator hits
+    the reference alignment tolerances (the estimator replaces the exact
+    kNN statistic with a k-th-NN windowed one; registration must not
+    notice)."""
+    source, target, gt = pair_coarse
+    reg = FastGICP()
+    reg.covariance_estimation = "adaptive"
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    est = reg.align()
+    assert reg.has_converged()
+    _check(est, gt)
+
+
 def test_vgicp_direct7(pair_coarse):
     source, target, gt = pair_coarse
     reg = FastVGICP()
