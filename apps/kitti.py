@@ -93,8 +93,11 @@ def main(argv=None):
                 evict_every=args.evict_every,
             )
         )
-        for scan in scans:
-            odo.process_async(voxel_downsample(scan, args.downsample))
+        # chunked driver: one device dispatch per 32 frames (host dispatch
+        # latency otherwise caps the wall rate; see process_chunk)
+        clouds = [voxel_downsample(s, args.downsample) for s in scans]
+        for lo in range(0, len(clouds), 32):
+            odo.process_chunk(clouds[lo:lo + 32])
         poses = odo.poses  # single synchronization
     elif args.mode == "scan":
         import numpy as np

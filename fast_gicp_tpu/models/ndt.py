@@ -131,13 +131,17 @@ def make_ndt_objective(
         # separate `counts[vids]` would be a 1-D int32 gather (scalar-core,
         # ~1 ms per refresh iteration at 7 x 16k queries).
         valid = (vids >= 0) & src_mask[None, :] & (n_B > _MIN_VOXEL_POINTS)
+        if C_A is None:
+            # P2D: M = cov_B^-1 is pose-independent — invert once at the
+            # freeze instead of every frozen-phase linearization
+            cov_B = soa.inv_sym_cols(cov_B)
         return mu_B, cov_B, valid
 
     def linearize_frozen(x, frozen):
         mu_B, cov_B, valid = frozen
         R = x[:3, :3]
-        if C_A is None:  # P2D: M = cov_B^-1
-            M = soa.inv_sym_cols(cov_B)
+        if C_A is None:  # P2D: cov_B already holds M = cov_B^-1 (freeze)
+            M = cov_B
         else:  # D2D: M = (cov_B + R C_A R^T)^-1 at the linearization point
             M = soa.inv_sym_cols(cov_B + soa.rotate_sym_cols(R, C_A)[None])
         M = M * valid[:, None, :]

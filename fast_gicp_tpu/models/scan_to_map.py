@@ -640,22 +640,14 @@ def _relative(prev, pose):
     return se3.orthonormalize(se3.invert_transform(prev) @ pose)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "covariance", "gate_t", "gate_r"),
-    donate_argnums=(0,),
-)
-@f32_matmuls
-def _fused_frame_step(
+def _fused_frame_body(
     state: MapState, prev_pose, last_delta, reject_streak, pts, mask,
     config: ScanToMapConfig, covariance: str, gate_t, gate_r,
 ):
-    """One odometry frame as ONE device program: covariance estimation ->
+    """One odometry frame's graph: covariance estimation ->
     constant-velocity align -> tracking gate -> world transform -> map
-    fusion.  The multi-dispatch driver paid ~5 jit dispatches per frame
-    (~1-3 ms each of host/tunnel overhead — the wall-clock bottleneck at
-    ~30 ms/frame on this host); this is a single dispatch, and the map
-    state is donated so fusion updates in place."""
+    fusion.  Jitted per frame by `_fused_frame_step` and rolled over
+    whole chunks by `_fused_chunk_step`."""
     from ..ops import soa
     from ..ops.covariance import knn_covariances, rbf_covariance_cols
 
@@ -687,6 +679,60 @@ def _fused_frame_step(
             new_cap=config.new_per_frame_capacity,
         )
     return state, pose, new_delta, streak
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "covariance", "gate_t", "gate_r"),
+    donate_argnums=(0,),
+)
+@f32_matmuls
+def _fused_frame_step(
+    state: MapState, prev_pose, last_delta, reject_streak, pts, mask,
+    config: ScanToMapConfig, covariance: str, gate_t, gate_r,
+):
+    """One odometry frame as ONE device program.  The multi-dispatch
+    driver paid ~5 jit dispatches per frame (~1-3 ms each of host/tunnel
+    overhead — the wall-clock bottleneck at ~30 ms/frame on this host);
+    this is a single dispatch, and the map state is donated so fusion
+    updates in place."""
+    return _fused_frame_body(
+        state, prev_pose, last_delta, reject_streak, pts, mask,
+        config, covariance, gate_t, gate_r,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "covariance", "gate_t", "gate_r"),
+    donate_argnums=(0,),
+)
+@f32_matmuls
+def _fused_chunk_step(
+    state: MapState, prev_pose, last_delta, reject_streak, pts, mask,
+    config: ScanToMapConfig, covariance: str, gate_t, gate_r,
+):
+    """A CHUNK of frames as one device program: `lax.scan` of the fused
+    frame body with the map state in the carry.  Cuts the host cost from
+    ~2 dispatches per FRAME (which caps any host-driven loop at ~230 fps
+    on a 1-core host) to ~2 per CHUNK; growth/eviction checks run between
+    chunks (`ScanToMapOdometry.process_chunk`).
+
+    pts (C, N, 3) / mask (C, N); returns (state, poses (C, 4, 4),
+    last_delta, reject_streak)."""
+
+    def step(carry, frame):
+        st, prev, delta, streak = carry
+        p, m = frame
+        st, pose, delta, streak = _fused_frame_body(
+            st, prev, delta, streak, p, m, config, covariance, gate_t, gate_r
+        )
+        return (st, pose, delta, streak), pose
+
+    (state, _, last_delta, reject_streak), poses = jax.lax.scan(
+        step, (state, prev_pose, last_delta, reject_streak), (pts, mask)
+    )
+    return state, poses, last_delta, reject_streak
 
 
 @partial(jax.jit, static_argnames=("config", "covariance"), donate_argnums=(0,))
@@ -750,7 +796,11 @@ class ScanToMapOdometry:
         self._align_first_frame = (
             initial_map is not None and int(initial_map.num_voxels) > 0
         )
-        self._poses_dev = []  # device-side (4, 4) f32 pose chain
+        # device-side pose chain: (4, 4) entries from per-frame processing,
+        # (C, 4, 4) entries from process_chunk — flattened by `poses`
+        self._poses_dev = []
+        self._last_pose = None  # device (4, 4) of the latest frame
+        self._n_frames = 0
         # initial_velocity: the previous session's last frame-to-frame
         # delta, so a resumed track starts with a constant-velocity guess
         # (and active deviation gates) instead of a standstill prediction.
@@ -802,13 +852,13 @@ class ScanToMapOdometry:
     def _maybe_evict(self) -> None:
         """Every evict_every frames, drop voxels beyond eviction_radius of
         the current pose (enqueued device-side; no sync)."""
-        if self.config.eviction_radius is None or not self._poses_dev:
+        if self.config.eviction_radius is None or self._last_pose is None:
             return
         self._frames_since_evict += 1
         if self._frames_since_evict < self.config.evict_every:
             return
         self._frames_since_evict = 0
-        center = self._poses_dev[-1][:3, 3]
+        center = self._last_pose[:3, 3]
         self._compact(center, jnp.float32(self.config.eviction_radius))
 
     # --- capacity-policy primitives (overridden by the sharded driver) ---
@@ -844,10 +894,14 @@ class ScanToMapOdometry:
         """Synchronize and return the pose chain as float64 ndarrays."""
         import numpy as np
 
-        return [
-            np.asarray(p, dtype=np.float64)
-            for p in jax.device_get(self._poses_dev)
-        ]
+        out = []
+        for p in jax.device_get(self._poses_dev):
+            a = np.asarray(p, dtype=np.float64)
+            if a.ndim == 3:  # a process_chunk block
+                out.extend(a)
+            else:
+                out.append(a)
+        return out
 
     @property
     def velocity(self):
@@ -894,7 +948,7 @@ class ScanToMapOdometry:
         mask = jnp.asarray(mask_np)
         covs = self._covs(pts, mask)
 
-        if (not self._poses_dev and self.config.fuse_scans
+        if (self._n_frames == 0 and self.config.fuse_scans
                 and not self._align_first_frame):
             pose = self._anchor
             fuse_mask = mask
@@ -902,7 +956,7 @@ class ScanToMapOdometry:
             # localization mode (fuse_scans=False) and checkpoint-resumed
             # mapping align from frame 0 against the preloaded map;
             # fresh-map mode from frame 1
-            prev = (self._poses_dev[-1] if self._poses_dev
+            prev = (self._last_pose if self._last_pose is not None
                     else self._anchor)
             guess = _compose(prev, self._last_delta)
             result = self._align(pts, mask, covs, guess)
@@ -910,8 +964,7 @@ class ScanToMapOdometry:
             # identity and any real motion would trip the deviation gates —
             # but the liveness checks (converged, finite, error > 0) apply
             # from the first align.
-            have_velocity = (len(self._poses_dev) >= 2
-                             or self._resumed_velocity)
+            have_velocity = self._n_frames >= 2 or self._resumed_velocity
             pose, rejected, self._reject_streak = _gate_pose(
                 result.transformation, guess, result.converged, result.error,
                 result.hessian,
@@ -932,6 +985,8 @@ class ScanToMapOdometry:
             world_pts, world_covs = _to_world(pose, pts, covs)
             self._fuse(world_pts, world_covs, fuse_mask)
         self._poses_dev.append(pose)
+        self._last_pose = pose
+        self._n_frames += 1
         self._maybe_grow()
         return pose
 
@@ -968,6 +1023,8 @@ class ScanToMapOdometry:
                 )
             )
         self._poses_dev.append(pose)
+        self._last_pose = pose
+        self._n_frames += 1
         self._maybe_grow()
         return pose
 
@@ -977,6 +1034,71 @@ class ScanToMapOdometry:
         import numpy as np
 
         return np.asarray(self.process_async(scan), dtype=np.float64)
+
+    def process_chunk(self, scans) -> None:
+        """Feed a LIST of (N, 3) scans as ONE device program (lax.scan of
+        the fused frame step with the map state in the carry).
+
+        `process_async` still pays ~2 host dispatches + one ~200 KB upload
+        per FRAME — on a 1-core host behind the ~35 ms-latency tunnel that
+        caps the wall rate at ~75 fps regardless of device speed.  Chunking
+        pays that cost once per chunk.  Semantics match frame-by-frame
+        processing exactly (same body, same gate/fusion dataflow — pinned
+        by test); the only behavioral differences are cadence: growth
+        headroom is checked before each chunk instead of every
+        `grow_check_every` frames, and eviction runs between chunks.
+        Choose chunk length <= grow_check_every so capacity policy keeps
+        its per-policy granularity; 16-64 frames is a good range.
+
+        Warm-up frames (the map-anchoring first frame, and frames until a
+        velocity estimate activates the deviation gates) take the
+        per-frame path automatically, so `process_chunk` can be the only
+        API a caller uses."""
+        import numpy as np
+
+        from ..utils.padding import bucket_size, pad_points
+
+        scans = [np.asarray(s) for s in scans]
+        # warm-up: per-frame until the gate params are stable for a whole
+        # chunk (gate_t/gate_r are jit-static in _fused_chunk_step)
+        need = 1 if self._resumed_velocity else 2
+        while scans and self._n_frames < need:
+            self.process_async(scans.pop(0))
+        if not scans:
+            return
+        if not self._fused_frames:
+            # sharded driver: multi-dispatch per frame (its shard_map
+            # graphs are not chunk-rolled); keep the API uniform
+            for s in scans:
+                self.process_async(s)
+            return
+        if self.config.fuse_scans and self._n_frames:
+            # give the whole chunk growth headroom now — the next fill
+            # check can only happen after the chunk
+            self._frames_since_check = self.config.grow_check_every
+            self._maybe_grow()
+        biggest = max(len(s) for s in scans)
+        if self._bucket is None or biggest > self._bucket:
+            self._bucket = bucket_size(int(biggest * 1.1))
+        padded = [pad_points(s, self._bucket) for s in scans]
+        pts = jnp.asarray(np.stack([p for p, _ in padded]))
+        msk = jnp.asarray(np.stack([m for _, m in padded]))
+        prev = (self._last_pose if self._last_pose is not None
+                else self._anchor)
+        self.state, poses, self._last_delta, self._reject_streak = (
+            _fused_chunk_step(
+                self.state, prev, self._last_delta, self._reject_streak,
+                pts, msk, self.config, self.covariance,
+                self.config.gate_translation, self.config.gate_rotation,
+            )
+        )
+        self._poses_dev.append(poses)
+        self._last_pose = poses[-1]
+        self._n_frames += len(scans)
+        # count the chunk's frames toward the growth/eviction cadences
+        self._frames_since_evict += len(scans) - 1
+        self._frames_since_check += len(scans) - 1
+        self._maybe_grow()
 
     def save(self, path: str) -> None:
         """Checkpoint the map (poses are host state — persist them with

@@ -81,6 +81,29 @@ def test_scan_to_map_odometry_trajectory():
     assert err < 0.05, f"scan-to-map ATE {err:.4f}"
 
 
+def test_process_chunk_matches_per_frame():
+    """process_chunk (whole-chunk lax.scan with the map in the carry) must
+    reproduce the per-frame trajectory exactly — same body, same gate and
+    fusion dataflow, warm-up frames handled internally."""
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+
+    scans, gt_poses = _trajectory_scans(np.random.default_rng(5), n_frames=7)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 14, lsq=LsqConfig())
+
+    per_frame = ScanToMapOdometry(cfg)
+    for s in scans:
+        per_frame.process(s)
+
+    chunked = ScanToMapOdometry(cfg)
+    chunked.process_chunk(scans[:4])  # includes the 2 warm-up frames
+    chunked.process_chunk(scans[4:])
+    assert len(chunked.poses) == len(scans)
+    for a, b in zip(per_frame.poses, chunked.poses):
+        np.testing.assert_allclose(b, a, atol=1e-5)
+    assert ate_rmse(gt_poses, chunked.poses) < 0.05
+
+
 def test_sharded_scan_to_map_matches_single():
     """8-device hash-sharded persistent map must reproduce the single-device
     scan-to-map trajectory (ownership partitions voxels exactly)."""
