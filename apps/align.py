@@ -157,9 +157,28 @@ def run_device_rows(methods, source, target, n):
             return ndt_align(sj, sm, tj, tm, eye, cfg)
         return body
 
+    # beyond-reference estimator: the k-th-NN windowed (adaptive-radius)
+    # covariances replace the exact-kNN statistic (see ops/covariance.py);
+    # reported as separate rows so the knn rows stay reference-parity
+    from fast_gicp_tpu.ops.covariance import adaptive_radius_covariances
+
+    def fgicp_adaptive(J):
+        sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
+        return gicp_align(sj, sm, adaptive_radius_covariances(sj, sm),
+                          tj, tm, adaptive_radius_covariances(tj, tm),
+                          eye, gcfg)
+
+    def vgicp_adaptive(J):
+        sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
+        return vgicp_align(sj, sm, adaptive_radius_covariances(sj, sm),
+                           tj, tm, adaptive_radius_covariances(tj, tm),
+                           eye, vcfg)
+
     bodies = {
         "fgicp": (fgicp_fresh, fgicp_reuse),
+        "fgicp_adaptive": (fgicp_adaptive, fgicp_reuse),
         "vgicp": (vgicp_fresh, vgicp_reuse),
+        "vgicp_adaptive": (vgicp_adaptive, vgicp_reuse),
         "vgicp_rbf": (vgicp_rbf_fresh, vgicp_rbf_reuse),
         "ndt_d2d": (ndt_body(ncfg_d2d), ndt_body(ncfg_d2d)),
         "ndt_p2d": (ndt_body(ncfg_p2d), ndt_body(ncfg_p2d)),
@@ -182,15 +201,20 @@ def run_device_rows(methods, source, target, n):
 
     rows = {}
     print(f"\ndevice-rolled lax.scan protocol ({n} aligns / dispatch):")
-    print(f"{'method':<12} {'fresh':>14} {'reuse':>14}")
-    for name in methods:
+    print(f"{'method':<16} {'fresh':>14} {'reuse':>14}")
+    # the *_adaptive rows ride along whenever their base method is selected
+    row_names = [
+        b for b in bodies
+        if b in methods or b.removesuffix("_adaptive") in methods
+    ]
+    for name in row_names:
         fresh = timed(name, 0)
         reuse = timed(name, 1)
         rows[name] = {
             "fresh_ms_per_align": round(fresh, 3),
             "reuse_ms_per_align": round(reuse, 3),
         }
-        print(f"{name:<12} {fresh:>11.2f}ms {reuse:>11.2f}ms", flush=True)
+        print(f"{name:<16} {fresh:>11.2f}ms {reuse:>11.2f}ms", flush=True)
     return rows
 
 
