@@ -88,7 +88,9 @@ def run_device_rows(methods, source, target, n):
     from fast_gicp_tpu.models.vgicp import (
         VGICPConfig, vgicp_align, vgicp_register,
     )
-    from fast_gicp_tpu.ops.covariance import knn_covariances, rbf_covariances
+    from fast_gicp_tpu.ops.covariance import (
+        knn_covariance_cols, knn_covariances, rbf_covariances,
+    )
     from fast_gicp_tpu.ops.voxelmap import auto_grid_dims
     from fast_gicp_tpu.utils.padding import pad_points
 
@@ -124,8 +126,8 @@ def run_device_rows(methods, source, target, n):
 
     def fgicp_fresh(J):
         sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
-        return gicp_align(sj, sm, knn_covariances(sj, sm),
-                          tj, tm, knn_covariances(tj, tm), eye, gcfg)
+        return gicp_align(sj, sm, knn_covariance_cols(sj, sm),
+                          tj, tm, knn_covariance_cols(tj, tm), eye, gcfg)
 
     def fgicp_reuse(J):
         sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
@@ -134,8 +136,8 @@ def run_device_rows(methods, source, target, n):
 
     def vgicp_fresh(J):
         sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]
-        return vgicp_align(sj, sm, knn_covariances(sj, sm),
-                           tj, tm, knn_covariances(tj, tm), eye, vcfg)
+        return vgicp_align(sj, sm, knn_covariance_cols(sj, sm),
+                           tj, tm, knn_covariance_cols(tj, tm), eye, vcfg)
 
     def vgicp_reuse(J):
         sj, tj = sp @ J[:3, :3].T + J[:3, 3], tp @ J[:3, :3].T + J[:3, 3]

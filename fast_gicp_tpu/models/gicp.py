@@ -93,7 +93,7 @@ def make_gicp_objective(
         target_pack16 = jnp.concatenate(
             [
                 target,
-                target_covs.reshape(-1, 9),
+                soa.covs_rows9(target_covs),
                 jnp.ones((target.shape[0], 1), target.dtype),
                 jnp.zeros((target.shape[0], 3), target.dtype),
             ],

@@ -649,12 +649,12 @@ def _fused_frame_body(
     fusion.  Jitted per frame by `_fused_frame_step` and rolled over
     whole chunks by `_fused_chunk_step`."""
     from ..ops import soa
-    from ..ops.covariance import knn_covariances, rbf_covariance_cols
+    from ..ops.covariance import knn_covariance_cols, rbf_covariance_cols
 
     if covariance == "rbf":
         covs6 = rbf_covariance_cols(pts, mask)  # (6, N) SoA columns
     else:
-        covs6 = soa.sym_cols_from_covs(knn_covariances(pts, mask))
+        covs6 = knn_covariance_cols(pts, mask)
 
     guess = se3.orthonormalize(prev_pose @ last_delta)
     result = align_to_map(state, pts, mask, covs6, guess, config)
@@ -740,12 +740,12 @@ def _fused_chunk_step(
 def _fused_first_frame(state: MapState, pts, mask, pose,
                        config: ScanToMapConfig, covariance: str):
     from ..ops import soa
-    from ..ops.covariance import knn_covariances, rbf_covariance_cols
+    from ..ops.covariance import knn_covariance_cols, rbf_covariance_cols
 
     if covariance == "rbf":
         covs6 = rbf_covariance_cols(pts, mask)
     else:
-        covs6 = soa.sym_cols_from_covs(knn_covariances(pts, mask))
+        covs6 = knn_covariance_cols(pts, mask)
     # anchor the first scan at `pose` (identity for a fresh run; the resume
     # pose when continuing a mapping session from a checkpoint)
     world_pts = se3.transform_points(pose, pts)

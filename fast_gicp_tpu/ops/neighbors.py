@@ -115,3 +115,138 @@ def knn_search(
 
     idx, sq = jax.lax.map(body, _chunked(query, chunk_size))
     return idx.reshape(nq, k), sq.reshape(nq, k)
+
+
+def select_candidate_tiles(qt, tt, C: int):
+    """Per query tile, the C target tiles with the smallest bbox gap.
+
+    qt (Q, tile, 3) raw query tiles; tt (T, tile, 3) masked target tiles
+    (masked points parked at MASK_COORD).  Fully-masked target tiles sit
+    at MASK_COORD (never selected); a mixed tail tile gets a huge bbox
+    and gap 0 everywhere — it simply always competes, which is correct.
+
+    Returns (cidx (Q, C) int32, excluded_sq (Q,) f32: the bbox gap of the
+    nearest EXCLUDED tile, inf when C >= T)."""
+    Q, T = qt.shape[0], tt.shape[0]
+    qlo, qhi = jnp.min(qt, axis=1), jnp.max(qt, axis=1)
+    tlo, thi = jnp.min(tt, axis=1), jnp.max(tt, axis=1)
+    gap = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            qlo[:, None, :] - thi[None, :, :],
+            tlo[None, :, :] - qhi[None, :, :],
+        ),
+    )
+    gap_sq = jnp.sum(gap * gap, axis=-1)  # (Q, T)
+    if C < T:
+        neg_gap, tidx = jax.lax.top_k(-gap_sq, C + 1)
+        return tidx[:, :C], -neg_gap[:, C]
+    cidx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (Q, T))
+    return cidx, jnp.full((Q,), jnp.inf, qt.dtype)
+
+
+def knn_search_culled(
+    query,
+    target,
+    target_mask,
+    k: int,
+    tile: int = 256,
+    cand_tiles: int = 16,
+    q_chunk_tiles: int = 8,
+    recall_target: float = 0.99,
+):
+    """Tile-culled kNN: per `tile`-query block, search only the
+    `cand_tiles` target tiles with the smallest bounding-box gap.
+
+    Clouds arrive voxel-key sorted (utils/downsample.py normalizes output
+    order), so consecutive tiles have tight bounding boxes — the same
+    observation behind the exact two-pass 1-NN kernel
+    (ops/pallas_kernels.nn_search_pallas).  k=20 neighborhoods span
+    ~0.3-0.5 m at a 0.1 m downsample while excluded tiles sit metres away,
+    so distances + top-k run on a (tile, cand_tiles*tile) candidate slab
+    instead of (tile, N) — ~4x less top-k work at 16k points, which is
+    what dominates `knn_search`.
+
+    Returns (idx (Nq, k) int32, sq_dist (Nq, k) f32, certified (Nq,)
+    bool): certified[i] means query i's k-th found distance is <= the
+    bbox gap of the nearest EXCLUDED tile — no excluded tile can hold a
+    true neighbor, so the candidate set provably contains the exact kNN
+    (with recall_target=1.0 the in-slab top-k is exact too).  Uncertified
+    queries are typically sparse far-range points whose k-NN radius spans
+    many tiles; measured on the bundled 17k cloud, overall recall matches
+    the full-row `approx_min_k` default (~0.965) at ~1/4 of the top-k
+    work — the misses coincide with the same statistic-insensitive tails.
+
+    Reference statistic: kd-tree nearestKSearch over the full cloud
+    (fast_gicp_impl.hpp:257).  Requires Nq % tile == 0 and
+    N_target % tile == 0 (bucket-padded clouds are 2048-multiples).
+    """
+    nq, nt = query.shape[0], target.shape[0]
+    if nq % tile or nt % tile:
+        raise ValueError(f"cloud sizes ({nq}, {nt}) not {tile}-multiples")
+    Q, T = nq // tile, nt // tile
+    C = min(cand_tiles, T)
+    tgt = _masked_target(target, target_mask)
+    qt = query.reshape(Q, tile, 3)
+    tt = tgt.reshape(T, tile, 3)
+    cidx, excluded_sq = select_candidate_tiles(qt, tt, C)
+
+    from . import pallas_kernels  # function-level: pallas_kernels imports us
+
+    if tile == pallas_kernels._KNN_TILE and (
+        jax.default_backend() == "tpu"
+    ):
+        # VPU slab kernel: k iterated argmin-and-mask in VMEM — row-wise
+        # top-k primitives have a ~5-7 ms per-16k-rows floor on v5e that
+        # dominates the whole search (see knn_slab_pallas).
+        gidx, sq = pallas_kernels.knn_slab_pallas(
+            query, jnp.ones(nq, bool), target, target_mask, cidx, k
+        )
+        certified = sq[:, k - 1].reshape(Q, tile) <= excluded_sq[:, None]
+        return gidx, sq, certified.reshape(nq)
+    # Candidate slabs: contiguous tiles gather as whole rows (no 1-D
+    # scalar-core gather; see CLAUDE.md grid8 lore).
+    cand = tt.reshape(T, tile * 3)[cidx].reshape(Q, C * tile, 3)
+    cand_sq = jnp.sum(cand * cand, axis=-1)  # (Q, C*tile)
+
+    g = max(1, min(q_chunk_tiles, Q))
+    while Q % g:
+        g -= 1
+
+    def body(args):
+        q, c, c_sq = args  # (g, tile, 3), (g, C*tile, 3), (g, C*tile)
+        d = (
+            jnp.sum(q * q, axis=-1)[..., None]
+            - 2.0 * jnp.einsum(
+                "qid,qjd->qij", q, c, precision=_PRECISION
+            )
+            + c_sq[:, None, :]
+        )  # (g, tile, C*tile)
+        neg_top, loc = jax.lax.approx_max_k(
+            -d, k, recall_target=recall_target
+        )
+        return loc.astype(jnp.int32), jnp.maximum(-neg_top, 0.0)
+
+    loc, sq = jax.lax.map(
+        body,
+        (
+            qt.reshape(Q // g, g, tile, 3),
+            cand.reshape(Q // g, g, C * tile, 3),
+            cand_sq.reshape(Q // g, g, C * tile),
+        ),
+    )
+    loc = loc.reshape(Q, tile, k)
+    sq = sq.reshape(Q, tile, k)
+    # slab-local -> global target index: tile id rides a C-lane pick from
+    # cidx, never a large gather
+    owner = jnp.take_along_axis(
+        jnp.broadcast_to(cidx[:, None, :], (Q, tile, C)), loc // tile, axis=2
+    )
+    gidx = owner * tile + loc % tile  # (Q, tile, k)
+    kth = jnp.max(sq, axis=-1)  # (Q, tile)
+    certified = kth <= excluded_sq[:, None]
+    return (
+        gidx.reshape(nq, k).astype(jnp.int32),
+        sq.reshape(nq, k),
+        certified.reshape(nq),
+    )

@@ -221,6 +221,82 @@ def nn_search_pallas(query, target, target_mask, interpret: bool = False):
     return idx[:, 0], jnp.maximum(dist[:, 0], 0.0)
 
 
+_KNN_TILE = 256  # candidate/query tile granularity of the slab kNN kernel
+
+
+def _make_knn_slab_kernel(k: int, C: int):
+    def kernel(cidx_ref, q_ref, c_ref, idx_ref, sq_ref):
+        qi = pl.program_id(0)
+        # d: (QT, C*256) distance slab, held as a value (VMEM/registers)
+        d = jnp.concatenate(
+            [_sq_dists(q_ref[:], c_ref[0, j]) for j in range(C)], axis=1
+        )
+        iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        for i in range(k):  # static unroll: k iterated argmin-and-mask
+            m = jnp.min(d, axis=1)
+            am = jnp.argmin(d, axis=1).astype(jnp.int32)
+            sub = am // _KNN_TILE
+            # slab-local -> global: C scalar compares against this query
+            # tile's candidate ids in SMEM (never a gather)
+            g = jnp.zeros_like(am)
+            for j in range(C):
+                g = jnp.where(sub == j, cidx_ref[qi, j], g)
+            idx_ref[:, i] = g * _KNN_TILE + am % _KNN_TILE
+            sq_ref[:, i] = jnp.maximum(m, 0.0)
+            d = jnp.where(iota == am[:, None], _BIG, d)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_slab_pallas(query, qmask, target, tmask, cidx, k: int,
+                    interpret: bool = False):
+    """k-NN restricted to per-query-tile candidate slabs: for query tile i
+    only the target tiles `cidx[i]` (chosen by bbox gap in
+    neighbors.knn_search_culled) are searched.
+
+    Row-wise top-k primitives have a ~5-7 ms floor at 16k rows on v5e
+    (lax.approx_max_k and lax.top_k are per-row-machinery bound, measured
+    flat from 1k to 16k row width).  This kernel does k=20 iterated
+    (argmin, record, mask) passes over a (256, C*256) distance slab that
+    never leaves VMEM — pure VPU reductions, no top-k machinery at all.
+    Ascending output order; ties broken by slab position (= bbox-gap rank),
+    unlike the reference heap's global index order (fast_gicp_impl.hpp:257)
+    — distances are identical.
+
+    Returns (idx (Nq, k) int32 GLOBAL target ids, sq (Nq, k) f32 ascending).
+    """
+    nq, nt = query.shape[0], target.shape[0]
+    Q, C = cidx.shape
+    if nq != Q * _KNN_TILE or nt % _KNN_TILE:
+        raise ValueError(f"sizes ({nq},{nt}) not {_KNN_TILE}-tiled for {Q}")
+    T = nt // _KNN_TILE
+    qT = _prep_transposed(query, qmask)
+    tT = _prep_transposed(target, tmask)
+    # (T, 8*256) tile rows -> whole-row candidate gather (grid8 lore: big
+    # contiguous rows, never a 1-D scalar-core gather)
+    rows = tT.reshape(8, T, _KNN_TILE).transpose(1, 0, 2).reshape(T, -1)
+    candT = rows[cidx].reshape(Q, C, 8, _KNN_TILE)
+    return pl.pallas_call(
+        _make_knn_slab_kernel(k, C),
+        grid=(Q,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, _KNN_TILE), lambda i: (0, i)),
+            pl.BlockSpec((1, C, 8, _KNN_TILE), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_KNN_TILE, k), lambda i: (i, 0)),
+            pl.BlockSpec((_KNN_TILE, k), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, k), jnp.int32),
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cidx.astype(jnp.int32), qT, candT)
+
+
 def _rbf_kernel(rel_ref, kw_ref, md_ref, q_ref, t_ref, f_ref, out_ref):
     """Feature and output operands are TRANSPOSED ((32, TT) block, (32, QT)
     out) so the caller never relayouts an (N, 32) matrix — XLA-side

@@ -28,7 +28,15 @@ def cols_from_points(points):
 
 
 def sym_cols_from_covs(covs):
-    """(..., N, 3, 3) symmetric -> (..., 6, N)."""
+    """(..., N, 3, 3) symmetric -> (..., 6, N).
+
+    (..., 6, N) column inputs pass through unchanged, so model boundaries
+    (gicp_align / vgicp_align covariance arguments) accept either layout —
+    cols-native estimators (knn_covariance_cols, rbf_covariance_cols) feed
+    the objectives without an AoS round trip.
+    """
+    if covs.shape[-2:] != (3, 3) and covs.shape[-2] == 6:
+        return covs
     return jnp.stack(
         [
             covs[..., 0, 0],
@@ -40,6 +48,14 @@ def sym_cols_from_covs(covs):
         ],
         axis=-2,
     )
+
+
+def covs_rows9(covs):
+    """(..., N, 3, 3) AoS or (..., 6, N) sym columns -> (..., N, 9)
+    row-major rows (the voxel-map / fused-kernel packing layout)."""
+    if covs.shape[-2:] == (3, 3):
+        return covs.reshape(covs.shape[:-2] + (9,))
+    return sym_cols_to_rows9(covs)
 
 
 def sym_cols_from_packed(rows):

@@ -397,9 +397,15 @@ def build_voxelmap(
 
 
 def _mode_contrib(points, mask, covs, mode):
-    """(N, 13) accumulation rows [1 | mean-contrib (3) | cov-contrib (9)]."""
+    """(N, 13) accumulation rows [1 | mean-contrib (3) | cov-contrib (9)].
+
+    covs may be (N, 3, 3) AoS or (6, N) sym-6 columns."""
     n = points.shape[0]
     dtype = points.dtype
+    if covs is not None and covs.shape[-2:] != (3, 3):
+        from . import soa
+
+        covs = soa.sym_cols_to_rows9(covs).reshape(n, 3, 3)
     if mode == "raw":
         m_contrib = points
         c_contrib = points[:, :, None] * points[:, None, :]

@@ -48,6 +48,102 @@ def test_knn_search_sorted_and_exact(rng):
     assert np.all(np.diff(np.asarray(sqd), axis=1) >= -1e-4)
 
 
+def _voxel_sorted_cloud(rng, n, extent=20.0, res=0.5):
+    """Cloud in voxel-key sorted order — the layout utils.downsample
+    emits and the tile-culled search assumes for tight tile bboxes."""
+    pts = (rng.random((n, 3)) * extent).astype(np.float32)
+    keys = np.floor(pts / res).astype(np.int64)
+    order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+    return pts[order]
+
+
+def test_knn_search_culled_recall_and_certificate(rng):
+    from fast_gicp_tpu.ops.neighbors import knn_search_culled
+
+    n, k = 4096, 10
+    pts = _voxel_sorted_cloud(rng, n)
+    m = np.ones(n, bool)
+    m[-100:] = False  # padded tail, targets masked
+    p, mask = jnp.asarray(pts), jnp.asarray(m)
+    idx_c, sq_c, cert = knn_search_culled(
+        p, p, mask, k=k, cand_tiles=6, recall_target=1.0
+    )
+    idx_e, sq_e = knn_search(p, p, mask, k=k, approx=False)
+    ic, ie = np.asarray(idx_c), np.asarray(idx_e)
+    cert = np.asarray(cert)
+    recalls = np.array([
+        len(np.intersect1d(ic[i], ie[i])) / k
+        for i in range(0, n - 100)
+    ])
+    assert recalls.mean() > 0.985, recalls.mean()
+    # certified queries are EXACT: every true neighbor found
+    certified_idx = np.nonzero(cert[: n - 100])[0]
+    assert len(certified_idx) > 100
+    assert recalls[certified_idx].min() == 1.0
+    # distances are consistent with indices (squared distance recompute)
+    i0 = 37
+    d0 = ((pts[i0] - pts[ic[i0]]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(sq_c)[i0]), np.sort(d0), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_knn_slab_pallas_matches_xla_slab(rng):
+    # interpret mode pins the TPU slab kernel's semantics against the
+    # XLA candidate-slab path every CI run
+    from fast_gicp_tpu.ops import pallas_kernels
+    from fast_gicp_tpu.ops.neighbors import (
+        _masked_target, knn_search_culled, select_candidate_tiles,
+    )
+
+    n, k, tile, C = 2048, 8, 256, 4
+    pts = _voxel_sorted_cloud(rng, n, extent=15.0)
+    m = np.ones(n, bool)
+    m[-60:] = False
+    p, mask = jnp.asarray(pts), jnp.asarray(m)
+    qt = p.reshape(-1, tile, 3)
+    tt = _masked_target(p, mask).reshape(-1, tile, 3)
+    cidx, _ = select_candidate_tiles(qt, tt, C)
+    idx_k, sq_k = pallas_kernels.knn_slab_pallas(
+        p, jnp.ones(n, bool), p, mask, cidx, k, interpret=True
+    )
+    idx_x, sq_x, _ = knn_search_culled(
+        p, p, mask, k=k, cand_tiles=C, recall_target=1.0
+    )
+    # same neighbor sets and distances (ordering may differ; the XLA path
+    # computes |q|^2 - 2qt + |t|^2 whose cancellation carries ~eps*|q|^2
+    # absolute noise vs the kernel's exact-relative (q-t)^2 form)
+    np.testing.assert_allclose(
+        np.asarray(sq_k), np.sort(np.asarray(sq_x), axis=1),
+        rtol=1e-3, atol=1e-3,
+    )
+    ik, ix = np.asarray(idx_k), np.asarray(idx_x)
+    mism = sum(
+        len(np.setdiff1d(ik[i], ix[i])) for i in range(0, n - 60, 7)
+    )
+    assert mism == 0, mism
+    # ascending output order (the kernel's contract)
+    assert np.all(np.diff(np.asarray(sq_k), axis=1) >= -1e-6)
+
+
+def test_knn_search_culled_dense_when_few_tiles(rng):
+    # cand_tiles >= tile count -> identical to the exact dense search
+    from fast_gicp_tpu.ops.neighbors import knn_search_culled
+
+    n, k = 1024, 8
+    pts = _voxel_sorted_cloud(rng, n, extent=8.0)
+    p, mask = jnp.asarray(pts), jnp.ones(n, bool)
+    idx_c, sq_c, cert = knn_search_culled(
+        p, p, mask, k=k, cand_tiles=64, recall_target=1.0
+    )
+    idx_e, sq_e = knn_search(p, p, mask, k=k, approx=False)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(sq_c), axis=1), np.asarray(sq_e),
+        rtol=1e-3, atol=1e-4,
+    )
+    assert bool(np.all(np.asarray(cert)))
+
+
 def test_inv3_and_det3(rng):
     A = rng.normal(size=(64, 3, 3)).astype(np.float32)
     A = A @ A.transpose(0, 2, 1) + np.eye(3, dtype=np.float32) * 0.5
@@ -119,6 +215,26 @@ def test_knn_covariances_plane_on_plane(rng):
     # normal direction (z) should carry eigenvalue 1e-3
     np.testing.assert_allclose(covs[:, 2, 2], 1e-3, atol=1e-4)
     np.testing.assert_allclose(covs[:, 0, 0], 1.0, atol=1e-3)
+
+
+def test_knn_covariances_match_numpy_reference(rng):
+    # exact path vs a direct numpy transcription of the statistic
+    # (fast_gicp_impl.hpp:259-265): moments about the neighbor mean / k,
+    # then plane regularization; pins the cols-native compute path.
+    from fast_gicp_tpu.ops import soa
+    from fast_gicp_tpu.ops.covariance import knn_covariance_cols
+
+    k = 8
+    p, m, pts = _random_cloud(rng, 192, 64)
+    cols = knn_covariance_cols(p, m, k=k, method="none", approx=False)
+    got = np.asarray(soa.sym_cols_to_rows9(cols).reshape(-1, 3, 3))[:192]
+    d = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    nn = np.argsort(d, axis=1)[:, :k]
+    for i in range(0, 192, 17):
+        nbrs = pts[nn[i]]
+        mu = nbrs.mean(0)
+        ref = (nbrs - mu).T @ (nbrs - mu) / k
+        np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=1e-5)
 
 
 def test_rbf_covariances_finite_and_plane(rng):

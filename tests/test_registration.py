@@ -83,6 +83,40 @@ def test_gicp_adaptive_radius_covariances(pair_coarse):
     _check(est, gt)
 
 
+def test_align_accepts_cols_covariances(pair_coarse):
+    """gicp_align / vgicp_align accept (6, N) sym-column covariances (the
+    cols-native estimators' output, no AoS round trip); the pose must match
+    the (N, 3, 3) AoS layout exactly."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.gicp import GICPConfig, gicp_align
+    from fast_gicp_tpu.models.vgicp import VGICPConfig, vgicp_align
+    from fast_gicp_tpu.ops import soa
+    from fast_gicp_tpu.ops.covariance import knn_covariances
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    source, target, gt = pair_coarse
+    sp, sm = map(jnp.asarray, pad_points(source))
+    tp, tm = map(jnp.asarray, pad_points(target))
+    scov = knn_covariances(sp, sm)
+    tcov = knn_covariances(tp, tm)
+    scols = soa.sym_cols_from_covs(scov)
+    tcols = soa.sym_cols_from_covs(tcov)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    for align, cfg in (
+        (gicp_align, GICPConfig()),
+        (vgicp_align, VGICPConfig()),
+    ):
+        r_aos = align(sp, sm, scov, tp, tm, tcov, eye, cfg)
+        r_cols = align(sp, sm, scols, tp, tm, tcols, eye, cfg)
+        np.testing.assert_allclose(
+            np.asarray(r_aos.transformation),
+            np.asarray(r_cols.transformation),
+            atol=1e-6,
+        )
+        _check(np.asarray(r_cols.transformation), gt)
+
+
 def test_vgicp_direct7(pair_coarse):
     source, target, gt = pair_coarse
     reg = FastVGICP()
