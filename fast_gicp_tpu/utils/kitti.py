@@ -345,6 +345,63 @@ def _odometry_scan_deltas_impl(pts, msk, config, warm_start, scale=None):
     return deltas
 
 
+def _odometry_scan_deltas_ragged_impl(
+    flat, starts, counts, config, warm_start, scale, bucket
+):
+    """Ragged-upload variant of `_odometry_scan_deltas_impl`.
+
+    The host uploads ONE (S_pad, 3) concatenation of the frames' real
+    points (int16-quantized or f32) plus (F,) starts/counts — no pad rows
+    (frames average ~70% of the shared padding bucket) and no (F, N) bool
+    mask ever cross the wire.  Each scan step carves its frame out with a
+    `lax.dynamic_slice` (contiguous DMA, never a gather — 1-D/row gathers
+    lower to the scalar core) and rebuilds the mask from its count.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vgicp import _build_target_map, make_vgicp_objective
+    from ..ops.covariance import rbf_covariance_cols
+    from ..ops.voxelmap import neighbor_offsets
+    from ..solver import lsq_solve
+
+    lane = jnp.arange(bucket, dtype=jnp.int32)
+
+    def get_frame(start, count):
+        q = jax.lax.dynamic_slice(flat, (start, jnp.int32(0)), (bucket, 3))
+        p = q.astype(jnp.float32)
+        if scale is not None:
+            p = p * scale
+        m = lane < count
+        # zero the pad/overhang rows (the slice reads into the next
+        # frame's points; every consumer honors the mask, but keep the
+        # coordinates themselves clean for bbox/extent math)
+        return p * m[:, None].astype(p.dtype), m
+
+    offsets = jnp.asarray(
+        neighbor_offsets(
+            config.neighbor_search_method, config.neighbor_search_radius
+        )
+    )
+
+    def step(carry, frame):
+        delta, prev_p, prev_m, prev_c = carry
+        start, count = frame
+        p, m = get_frame(start, count)
+        c = rbf_covariance_cols(p, m)
+        vm = _build_target_map(prev_p, prev_m, prev_c, config)
+        lin, err = make_vgicp_objective(p, m, c, vm, offsets, config)
+        guess = delta if warm_start else jnp.eye(4, dtype=jnp.float32)
+        result = lsq_solve(lin, err, guess, config.lsq)
+        return (result.transformation, p, m, c), result.transformation
+
+    p0, m0 = get_frame(starts[0], counts[0])
+    c0 = rbf_covariance_cols(p0, m0)
+    init = (jnp.eye(4, dtype=jnp.float32), p0, m0, c0)
+    _, deltas = jax.lax.scan(step, init, (starts[1:], counts[1:]))
+    return deltas
+
+
 def _make_odometry_scan():  # module-level jit: caches across calls
     import functools
 
@@ -366,6 +423,27 @@ def _get_odometry_scan():
     if _odometry_scan_deltas is None:
         _odometry_scan_deltas = _make_odometry_scan()
     return _odometry_scan_deltas
+
+
+def _make_odometry_scan_ragged():
+    import jax
+
+    from ..precision import f32_matmuls
+
+    return jax.jit(
+        f32_matmuls(_odometry_scan_deltas_ragged_impl),
+        static_argnames=("config", "warm_start", "bucket"),
+    )
+
+
+_odometry_scan_deltas_ragged = None
+
+
+def _get_odometry_scan_ragged():
+    global _odometry_scan_deltas_ragged
+    if _odometry_scan_deltas_ragged is None:
+        _odometry_scan_deltas_ragged = _make_odometry_scan_ragged()
+    return _odometry_scan_deltas_ragged
 
 
 def run_odometry_scan(
@@ -390,16 +468,21 @@ def run_odometry_scan(
     sequence, far below downsample_resolution) and dequantizes on device.
     "float32" uploads raw.
 
-    Memory: frames are stacked (F, N, 3) on device (a 4500-frame KITTI
-    sequence at a 32k bucket is ~1.7 GB in f32, half that quantized).  All
-    frames share one padding bucket; per-frame covariances live only
-    inside the scan body.
+    Upload is RAGGED either way: one (sum_points, 3) concatenation plus
+    per-frame starts/counts — no pad rows and no bool mask on the wire
+    (~35% fewer bytes than the padded stack); each scan step
+    dynamic-slices its frame and rebuilds the mask from its count.
+
+    Memory: the flat sequence lives on device (a 4500-frame KITTI
+    sequence at ~20k real pts/frame is ~1.1 GB in f32, half that
+    quantized); frames share one padding bucket inside the scan body and
+    per-frame covariances exist only there.
     """
     import jax
     import jax.numpy as jnp
 
     from ..models.vgicp import VGICPConfig
-    from .padding import bucket_size, pad_points
+    from .padding import bucket_size
 
     config = config or VGICPConfig()
     clouds = [voxel_downsample(s, downsample_resolution) for s in scans]
@@ -418,25 +501,44 @@ def run_odometry_scan(
         config = config._replace(
             grid_dims=auto_grid_dims_multi(clouds, config.resolution)
         )
+    if upload_dtype not in ("int16", "float32"):
+        raise ValueError("upload_dtype must be 'int16' or 'float32'")
+    # Ragged upload: ONE (S_pad, 3) concatenation of the frames' real
+    # points + (F,) starts/counts; the device carves each frame out with a
+    # dynamic_slice and rebuilds its mask from the count.  vs the padded
+    # (F, N, 3) + (F, N)-mask upload this cuts the wire bytes ~35%
+    # (frames average ~70% of the shared bucket; the bool mask alone is
+    # N/24 of the f32 points) — the tunnel upload dominates this mode's
+    # wall clock.
     bucket = max(bucket_size(len(c)) for c in clouds)
-    padded = [pad_points(c, bucket) for c in clouds]
-    pts_np = np.stack([p for p, _ in padded])  # (F, N, 3)
-    msk = jnp.asarray(np.stack([m for _, m in padded]))  # (F, N)
+    counts = np.asarray([len(c) for c in clouds], np.int32)
+    starts = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(counts.astype(np.int64))[:-1]]
+    ).astype(np.int32)
+    flat = np.concatenate(
+        [np.ascontiguousarray(c[:, :3], np.float32) for c in clouds]
+    )
+    # pad the tail so the last frame's (bucket, 3) slice stays in bounds,
+    # rounded to a coarse bucket so sequence length doesn't force a
+    # fresh compile per unique point total
+    s_pad = bucket_size(flat.shape[0] + bucket)
+    flat = np.concatenate(
+        [flat, np.zeros((s_pad - flat.shape[0], 3), np.float32)]
+    )
 
     if upload_dtype == "int16":
-        amax = float(np.max(np.abs(pts_np))) or 1.0
+        amax = float(np.max(np.abs(flat))) or 1.0
         scale = amax / 32000.0
-        q = np.rint(pts_np * (1.0 / scale)).astype(np.int16)
-        deltas_dev = _get_odometry_scan()(
-            jnp.asarray(q), msk, config, warm_start,
-            jnp.asarray(scale, jnp.float32),
-        )
-    elif upload_dtype == "float32":
-        deltas_dev = _get_odometry_scan()(
-            jnp.asarray(pts_np), msk, config, warm_start
+        q = np.rint(flat * (1.0 / scale)).astype(np.int16)
+        deltas_dev = _get_odometry_scan_ragged()(
+            jnp.asarray(q), jnp.asarray(starts), jnp.asarray(counts),
+            config, warm_start, jnp.asarray(scale, jnp.float32), bucket,
         )
     else:
-        raise ValueError("upload_dtype must be 'int16' or 'float32'")
+        deltas_dev = _get_odometry_scan_ragged()(
+            jnp.asarray(flat), jnp.asarray(starts), jnp.asarray(counts),
+            config, warm_start, None, bucket,
+        )
     deltas = np.asarray(jax.device_get(deltas_dev), np.float64)
     poses = [np.eye(4)]
     for d in deltas:
