@@ -51,6 +51,14 @@ def _load() -> Optional[ctypes.CDLL]:
                                              ctypes.c_float, f32p]
             lib.load_kitti_bin.restype = ctypes.c_int
             lib.load_kitti_bin.argtypes = [ctypes.c_char_p, f32p, ctypes.c_int]
+            if hasattr(lib, "absmax_f32"):  # newer builds only
+                lib.absmax_f32.restype = ctypes.c_float
+                lib.absmax_f32.argtypes = [f32p, ctypes.c_longlong]
+                lib.quantize_i16.restype = None
+                lib.quantize_i16.argtypes = [
+                    f32p, ctypes.c_longlong, ctypes.c_float,
+                    ctypes.POINTER(ctypes.c_int16),
+                ]
             _lib = lib
             return lib
     return None
@@ -139,6 +147,37 @@ def voxel_downsample(points: np.ndarray, resolution: float) -> np.ndarray:
     m = lib.voxel_downsample(_f32p(pts), pts.shape[0],
                              ctypes.c_float(resolution), _f32p(out))
     return np.ascontiguousarray(out[:m])
+
+
+def quantize_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "absmax_f32")
+
+
+def absmax(a: np.ndarray) -> float:
+    """max(|a|) over a contiguous float32 array (C++ single pass)."""
+    lib = _load()
+    a = np.ascontiguousarray(a, np.float32)
+    if lib is None or not hasattr(lib, "absmax_f32"):
+        return float(np.max(np.abs(a))) if a.size else 0.0
+    return float(lib.absmax_f32(_f32p(a), ctypes.c_longlong(a.size)))
+
+
+def quantize_i16(src: np.ndarray, inv_scale: float, out: np.ndarray) -> None:
+    """out[:] = rint(src * inv_scale) as int16, one C++ pass.
+
+    `src` must be contiguous float32 and `out` contiguous int16 of the
+    same size (writes through; no allocation)."""
+    lib = _load()
+    assert out.dtype == np.int16 and out.size == src.size
+    if lib is None or not hasattr(lib, "quantize_i16"):
+        np.copyto(out.reshape(src.shape),
+                  np.rint(src * inv_scale).astype(np.int16))
+        return
+    lib.quantize_i16(
+        _f32p(src), ctypes.c_longlong(src.size), ctypes.c_float(inv_scale),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
 
 
 def load_kitti_bin(path: str) -> np.ndarray:

@@ -515,26 +515,33 @@ def run_odometry_scan(
     starts = np.concatenate(
         [np.zeros(1, np.int64), np.cumsum(counts.astype(np.int64))[:-1]]
     ).astype(np.int32)
-    flat = np.concatenate(
-        [np.ascontiguousarray(c[:, :3], np.float32) for c in clouds]
-    )
+    total = int(counts.astype(np.int64).sum())
     # pad the tail so the last frame's (bucket, 3) slice stays in bounds,
     # rounded to a coarse bucket so sequence length doesn't force a
     # fresh compile per unique point total
-    s_pad = bucket_size(flat.shape[0] + bucket)
-    flat = np.concatenate(
-        [flat, np.zeros((s_pad - flat.shape[0], 3), np.float32)]
-    )
+    s_pad = bucket_size(total + bucket)
 
     if upload_dtype == "int16":
-        amax = float(np.max(np.abs(flat))) or 1.0
+        # Stage each cloud straight into the int16 wire buffer (C++
+        # single-pass rint-quantize when the native runtime is built) —
+        # no ~100 MB float32 concatenation of the sequence ever exists.
+        from .. import native
+
+        c32 = [np.ascontiguousarray(c[:, :3], np.float32) for c in clouds]
+        amax = max((native.absmax(c) for c in c32), default=0.0) or 1.0
         scale = amax / 32000.0
-        q = np.rint(flat * (1.0 / scale)).astype(np.int16)
+        q = np.zeros((s_pad, 3), np.int16)
+        inv = 1.0 / scale
+        for c, s in zip(c32, starts):
+            native.quantize_i16(c, inv, q[s : s + len(c)])
         deltas_dev = _get_odometry_scan_ragged()(
             jnp.asarray(q), jnp.asarray(starts), jnp.asarray(counts),
             config, warm_start, jnp.asarray(scale, jnp.float32), bucket,
         )
     else:
+        flat = np.zeros((s_pad, 3), np.float32)
+        for c, s in zip(clouds, starts):
+            flat[s : s + len(c)] = c[:, :3]
         deltas_dev = _get_odometry_scan_ragged()(
             jnp.asarray(flat), jnp.asarray(starts), jnp.asarray(counts),
             config, warm_start, None, bucket,

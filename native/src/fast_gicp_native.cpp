@@ -300,4 +300,27 @@ int load_kitti_bin(const char* path, float* out, int capacity) {
   return n;
 }
 
+// ------------------------------------------------ int16 upload quantizer
+// Host side of the odometry drivers' quantized upload (utils/kitti.py
+// run_odometry_scan): the sequence-global abs-max sets the scale, then
+// each cloud is rint-quantized straight into its slot of the shared int16
+// staging buffer.  Replaces numpy's three full passes over the ~100 MB
+// f32 concatenation (multiply temp + rint temp + astype) with one read +
+// one narrow write per element, and removes the f32 concatenation itself.
+float absmax_f32(const float* in, long long n) {
+  float m = 0.0f;
+  for (long long i = 0; i < n; i++) {
+    float a = std::fabs(in[i]);
+    if (a > m) m = a;
+  }
+  return m;
+}
+
+void quantize_i16(const float* in, long long n, float inv_scale,
+                  int16_t* out) {
+  for (long long i = 0; i < n; i++) {
+    out[i] = int16_t(std::lrintf(in[i] * inv_scale));
+  }
+}
+
 }  // extern "C"
