@@ -166,10 +166,19 @@ def absmax(a: np.ndarray) -> float:
 def quantize_i16(src: np.ndarray, inv_scale: float, out: np.ndarray) -> None:
     """out[:] = rint(src * inv_scale) as int16, one C++ pass.
 
-    `src` must be contiguous float32 and `out` contiguous int16 of the
-    same size (writes through; no allocation)."""
+    `src` must be float32 and `out` contiguous int16 of the same size
+    (writes through; no allocation on the native path).  Non-contiguous
+    or non-f32 `src` is coerced with a copy; a non-contiguous `out` is a
+    hard error (writing into a temp copy would be silently dropped)."""
     lib = _load()
-    assert out.dtype == np.int16 and out.size == src.size
+    if out.dtype != np.int16 or out.size != src.size:
+        raise ValueError(
+            f"out must be int16 with {src.size} elements, got "
+            f"{out.dtype}/{out.size}"
+        )
+    if not out.flags.c_contiguous:
+        raise ValueError("out must be C-contiguous (writes through)")
+    src = np.ascontiguousarray(src, np.float32)
     if lib is None or not hasattr(lib, "quantize_i16"):
         np.copyto(out.reshape(src.shape),
                   np.rint(src * inv_scale).astype(np.int16))

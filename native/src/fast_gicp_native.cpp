@@ -310,8 +310,12 @@ int load_kitti_bin(const char* path, float* out, int capacity) {
 float absmax_f32(const float* in, long long n) {
   float m = 0.0f;
   for (long long i = 0; i < n; i++) {
+    // fmaxf-style NaN propagation so native and numpy-fallback paths
+    // agree on NaN-contaminated clouds (numpy's max propagates NaN; a
+    // silent `a > m` comparison would drop it and feed lrintf(NaN),
+    // which is unspecified, into quantize_i16 downstream).
     float a = std::fabs(in[i]);
-    if (a > m) m = a;
+    m = (a > m || a != a) ? a : m;
   }
   return m;
 }

@@ -57,11 +57,31 @@ def main(n_frames=256, downsample=0.25):
         [flat, np.zeros((s_pad - flat.shape[0], 3), np.float32)]))
     print(f"flat: {flat.shape} = {flat.nbytes/1e6:.1f} MB f32, bucket={bucket}")
 
-    amax = t("absmax", lambda: float(np.max(np.abs(flat))) or 1.0)
+    amax = t("absmax (legacy numpy)", lambda: float(np.max(np.abs(flat))) or 1.0)
     scale = amax / 32000.0
-    q = t("quantize (rint+astype)", lambda: np.rint(
+    q = t("quantize (legacy rint+astype)", lambda: np.rint(
         flat * (1.0 / scale)).astype(np.int16))
     print(f"int16 payload: {q.nbytes/1e6:.1f} MB")
+
+    # current run_odometry_scan staging path: per-cloud native absmax +
+    # native quantize straight into the shared int16 buffer (no f32
+    # concatenation at all) — see utils/kitti.py run_odometry_scan.
+    from fast_gicp_tpu import native
+
+    print(f"native quantizer available: {native.quantize_available()}")
+    amax2 = t("absmax (native, per cloud)", lambda: max(
+        (native.absmax(c[:, :3]) for c in clouds), default=0.0) or 1.0)
+    stage = np.zeros((s_pad, 3), np.int16)
+
+    def native_stage():
+        inv = 32000.0 / amax2
+        for c, lo in zip(clouds, starts):
+            src = np.ascontiguousarray(c[:, :3], np.float32)
+            native.quantize_i16(src, inv, stage[lo:lo + len(c)])
+        return stage
+    q2 = t("quantize (native, into staging buf)", native_stage)
+    assert np.array_equal(q2[: len(clouds[0])],
+                          q[: len(clouds[0])]), "staging paths disagree"
 
     # upload alone: force with a tiny reduction (device_get of a scalar)
     def upload():
