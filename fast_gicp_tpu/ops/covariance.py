@@ -75,6 +75,52 @@ def regularize_covariances(covs, method: str):
     raise ValueError(f"unknown regularization method: {method}")
 
 
+def _knn_moment_cols_fused(points, mask, k, cand_tile=128, cand_tiles=16,
+                           interpret=False):
+    """Raw kNN moment rows (10, N) + k-th distances via the fused
+    selection+moments kernel (pallas_kernels.knn_moments_pallas): the
+    (N, k) index array, its HBM gather, and the AoS moment epilogue never
+    exist.  Returns (mom, kth_sq, excluded_sq) — mom rows are
+    [count, sum y (3), sym-6 sum yy^T] about per-tile local origins
+    (center-invariant covariance finalize only)."""
+    from .neighbors import _masked_target, select_candidate_tiles
+
+    n = points.shape[0]
+    Q = n // pallas_kernels._KNN_TILE
+    T = n // cand_tile
+    tgt = _masked_target(points, mask)
+    cidx, excluded_sq = select_candidate_tiles(
+        points.reshape(Q, pallas_kernels._KNN_TILE, 3),
+        tgt.reshape(T, cand_tile, 3),
+        min(cand_tiles, T),
+    )
+    mom, kth = pallas_kernels.knn_moments_pallas(
+        points, jnp.ones(n, bool), points, mask, cidx, k,
+        cand_tile=cand_tile, interpret=interpret,
+    )
+    return mom, kth, excluded_sq
+
+
+def _finalize_mom_cols(mom):
+    """(10, N) raw moment rows -> (6, N) sym covariance columns (divides
+    by the valid-neighbor count like the gather epilogue; the reference
+    divides by k, identical whenever the cloud has >= k valid points)."""
+    cnt = jnp.maximum(mom[0], 1.0)
+    inv = 1.0 / cnt
+    mean = mom[1:4] * inv
+    return jnp.stack(
+        [
+            mom[4] * inv - mean[0] * mean[0],
+            mom[5] * inv - mean[0] * mean[1],
+            mom[6] * inv - mean[0] * mean[2],
+            mom[7] * inv - mean[1] * mean[1],
+            mom[8] * inv - mean[1] * mean[2],
+            mom[9] * inv - mean[2] * mean[2],
+        ],
+        axis=0,
+    )
+
+
 @f32_matmuls
 def knn_covariance_cols(
     points,
@@ -90,12 +136,26 @@ def knn_covariance_cols(
     plane regularization alone costs ~1.3 ms at 16k points vs ~0.1 in
     columns).
 
-    approx=True on tile-aligned clouds takes the tile-culled candidate
-    search (`neighbors.knn_search_culled`, ~3x faster than the full-row
-    approx_min_k with a per-query exactness certificate); other shapes
-    fall back to the blocked full search.
+    approx=True on tile-aligned TPU clouds runs the fused
+    selection+moments kernel (`pallas_kernels.knn_moments_pallas`) over
+    bbox-culled candidate slabs; CPU tile-aligned clouds take the
+    tile-culled candidate search (`neighbors.knn_search_culled`); other
+    shapes fall back to the blocked full search.  See `knn_covariances`
+    for the exactness contract.
     """
     n = points.shape[0]
+    if (
+        approx
+        and n % 256 == 0
+        and n >= 512
+        and jax.default_backend() == "tpu"
+        and method in ("plane", "none")
+    ):
+        mom, _kth, _excl = _knn_moment_cols_fused(points, mask, k)
+        cov6 = _finalize_mom_cols(mom)
+        if method == "plane":
+            return soa.plane_covs_cols(cov6)
+        return cov6
     if approx and n % 256 == 0 and n >= 512:
         idx, sq, _cert = knn_search_culled(points, points, mask, k=k)
     else:

@@ -127,17 +127,23 @@ def select_candidate_tiles(qt, tt, C: int):
 
     Returns (cidx (Q, C) int32, excluded_sq (Q,) f32: the bbox gap of the
     nearest EXCLUDED tile, inf when C >= T)."""
-    Q, T = qt.shape[0], tt.shape[0]
-    qlo, qhi = jnp.min(qt, axis=1), jnp.max(qt, axis=1)
-    tlo, thi = jnp.min(tt, axis=1), jnp.max(tt, axis=1)
-    gap = jnp.maximum(
-        0.0,
-        jnp.maximum(
-            qlo[:, None, :] - thi[None, :, :],
-            tlo[None, :, :] - qhi[None, :, :],
-        ),
-    )
-    gap_sq = jnp.sum(gap * gap, axis=-1)  # (Q, T)
+    Q, qtile = qt.shape[0], qt.shape[1]
+    T, ttile = tt.shape[0], tt.shape[1]
+    # Per-coordinate 2-D reductions: the one-shot (T, tile, 3) AoS
+    # min/max lowers to a padded-tile layout on TPU (~0.8 ms at 18k
+    # points); three (T, tile) lane-dim reductions are ~free.
+    gap_sq = jnp.zeros((Q, T), qt.dtype)
+    for a in range(3):
+        q_a = qt[..., a].reshape(Q, qtile)
+        t_a = tt[..., a].reshape(T, ttile)
+        gap = jnp.maximum(
+            0.0,
+            jnp.maximum(
+                q_a.min(1)[:, None] - t_a.max(1)[None, :],
+                t_a.min(1)[None, :] - q_a.max(1)[:, None],
+            ),
+        )
+        gap_sq = gap_sq + gap * gap  # (Q, T)
     if C < T:
         neg_gap, tidx = jax.lax.top_k(-gap_sq, C + 1)
         return tidx[:, :C], -neg_gap[:, C]

@@ -297,6 +297,121 @@ def knn_slab_pallas(query, qmask, target, tmask, cidx, k: int,
     )(cidx.astype(jnp.int32), qT, candT)
 
 
+def _make_knn_moments_kernel(k: int, C: int):
+    """Fused k-NN selection + moment accumulation over candidate slabs.
+
+    Replaces the knn_slab_pallas -> (N, k) gather -> AoS moment epilogue
+    chain of the k=20 covariance path (fast_gicp_impl.hpp:253-298,
+    covariance_estimation.cu:16-51) with ONE kernel: the k iterated
+    argmin-and-mask passes additionally build a 0/1 selection mask W over
+    the slab, and the neighborhood moments are one in-VMEM matmul
+    feats(cand) @ W^T — the (N, 20, 3) HBM gather and its (N, 8, 128)-
+    padded AoS epilogue never exist.
+
+    Precision: moments are taken about THIS QUERY TILE's first query
+    point, not the cloud center — covariances are center-invariant and
+    candidates lie within a few metres of the tile, so the finalize's
+    moment cancellation is ~|local extent|^2 / |cov| (~1e2..1e3), far
+    inside plain-f32 territory (the cloud-center form hits ~1e5 at 40 m
+    extents; see the round-3b windowed-moment lore).
+    """
+
+    def kernel(q_ref, c_ref, mom_ref, kth_ref):
+        # q_ref (8, QT): rows 0-2 raw query coords (masked at MASK_COORD)
+        # c_ref (1, C, 8, CT): rows 0-2 raw candidate coords, row 3 valid
+        cc = jnp.concatenate([c_ref[0, j] for j in range(C)], axis=1)
+        d = _sq_dists(q_ref[:], cc)  # (QT, S)
+        # Sortable packed keys: squared distances are non-negative, so
+        # their f32 bit patterns order like the floats; replacing the low
+        # 12 mantissa bits with the lane index makes every key UNIQUE
+        # (ties broken by slab position) and yields argmin for free — the
+        # min key IS the identity of the minimizer.  Selection ordering is
+        # quantized at 2^-11 relative, noise for neighborhood statistics.
+        iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        keys = (
+            jax.lax.bitcast_convert_type(d, jnp.int32) & jnp.int32(-4096)
+        ) | iota
+        m = jnp.zeros_like(keys[:, 0])
+        sentinel = jnp.int32(2147483647)  # no real key reaches it
+        for _ in range(k):  # static unroll: k iterated min-and-mask
+            m = jnp.min(keys, axis=1)
+            keys = jnp.where(keys == m[:, None], sentinel, keys)
+        # The k selected keys are exactly the sentinel slots — the
+        # selection mask needs no accumulator buffer at all.
+        W = (keys == sentinel).astype(jnp.float32)
+        kth_ref[:, 0] = jnp.maximum(
+            jax.lax.bitcast_convert_type(m & jnp.int32(-4096), jnp.float32),
+            0.0,
+        )
+        # Local frame: tile reference point = first query of the tile
+        # (valid except in fully-masked padding tiles, whose outputs are
+        # never consumed).  Candidate validity zeroes masked sentinels.
+        v = cc[3]
+        y0 = (cc[0] - q_ref[0, 0]) * v
+        y1 = (cc[1] - q_ref[1, 0]) * v
+        y2 = (cc[2] - q_ref[2, 0]) * v
+        feats = jnp.stack(
+            [v, y0, y1, y2,
+             y0 * y0, y0 * y1, y0 * y2,
+             y1 * y1, y1 * y2, y2 * y2,
+             y0, y0, y0, y0, y0, y0],  # pad rows to 16 (ignored)
+            axis=0,
+        )  # (16, S) f32
+        mom_ref[:] = jax.lax.dot_general(
+            feats, W, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "cand_tile", "interpret"))
+def knn_moments_pallas(query, qmask, target, tmask, cidx, k: int,
+                       cand_tile: int = 128, interpret: bool = False):
+    """Fused k-NN moment rows per query: returns (mom (10, Nq) f32,
+    kth_sq (Nq,) f32).
+
+    mom rows are [count, sum y (3), sum yy^T upper-sym (6)] over each
+    query's k nearest candidates, where y = x - (per-tile local origin)
+    — consume with the center-invariant covariance finalize only.  The
+    candidate set of query tile i is the `cand_tile`-sized target tiles
+    `cidx[i]` (bbox-gap ranked by neighbors.select_candidate_tiles).
+    kth_sq is the k-th selected squared distance (certificate input).
+    """
+    nq, nt = query.shape[0], target.shape[0]
+    Q, C = cidx.shape
+    if nq != Q * _KNN_TILE or nt % cand_tile:
+        raise ValueError(f"sizes ({nq},{nt}) not tiled for Q={Q}")
+    if C * cand_tile > 4096:
+        raise ValueError("slab width > 4096 (12 index bits packed in keys)")
+    T = nt // cand_tile
+    qT = _prep_transposed(query, qmask)
+    tT = _prep_transposed(target, tmask)
+    # validity in sublane row 3 (rows 3..7 are zero padding otherwise)
+    tT = tT.at[3].set(tmask.astype(jnp.float32))
+    rows = tT.reshape(8, T, cand_tile).transpose(1, 0, 2).reshape(T, -1)
+    candT = rows[cidx].reshape(Q, C, 8, cand_tile)
+    mom, kth = pl.pallas_call(
+        _make_knn_moments_kernel(k, C),
+        grid=(Q,),
+        in_specs=[
+            pl.BlockSpec((8, _KNN_TILE), lambda i: (0, i)),
+            pl.BlockSpec((1, C, 8, cand_tile), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, _KNN_TILE), lambda i: (0, i)),
+            pl.BlockSpec((_KNN_TILE, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, nq), jnp.float32),
+            jax.ShapeDtypeStruct((nq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qT, candT)
+    return mom[:10], kth[:, 0]
+
+
 def _rbf_kernel(rel_ref, kw_ref, md_ref, q_ref, t_ref, f_ref, out_ref):
     """Feature and output operands are TRANSPOSED ((32, TT) block, (32, QT)
     out) so the caller never relayouts an (N, 32) matrix — XLA-side

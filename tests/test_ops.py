@@ -126,6 +126,121 @@ def test_knn_slab_pallas_matches_xla_slab(rng):
     assert np.all(np.diff(np.asarray(sq_k), axis=1) >= -1e-6)
 
 
+def test_select_candidate_tiles_exact_gaps(rng):
+    # Regression: the bbox gap term `tlo - qhi` was paired on the wrong
+    # axis (tlo[None,:,:] - qhi[None,:,:]) — with Q == T it silently used
+    # target tile t's QUERY bbox, corrupting candidate ranking and the
+    # exactness certificate.  Pin against a brute-force numpy gap, with
+    # Q != T so the wrong pairing cannot even broadcast.
+    from fast_gicp_tpu.ops.neighbors import select_candidate_tiles
+
+    n, qtile, ttile, C = 1024, 256, 128, 3
+    pts = _voxel_sorted_cloud(rng, n, extent=12.0)
+    qt = jnp.asarray(pts).reshape(-1, qtile, 3)
+    tt = jnp.asarray(pts).reshape(-1, ttile, 3)
+    cidx, excluded_sq = select_candidate_tiles(qt, tt, C)
+
+    qlo, qhi = pts.reshape(-1, qtile, 3).min(1), pts.reshape(-1, qtile, 3).max(1)
+    tlo, thi = pts.reshape(-1, ttile, 3).min(1), pts.reshape(-1, ttile, 3).max(1)
+    gap = np.maximum(
+        0.0,
+        np.maximum(qlo[:, None, :] - thi[None, :, :],
+                   tlo[None, :, :] - qhi[:, None, :]),
+    )
+    gap_sq = (gap * gap).sum(-1)  # (Q, T)
+    order = np.argsort(gap_sq, axis=1, kind="stable")
+    got = np.sort(np.take_along_axis(gap_sq, np.asarray(cidx), 1), axis=1)
+    want = np.sort(np.take_along_axis(gap_sq, order[:, :C], 1), axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(excluded_sq),
+        np.take_along_axis(gap_sq, order[:, C : C + 1], 1)[:, 0],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_knn_moments_pallas_matches_packed_key_reference(rng):
+    # interpret mode pins the fused selection+moments kernel against a
+    # numpy emulation of its packed-key semantics (f32 distance bits with
+    # the low 12 bits replaced by the slab lane index; k smallest keys).
+    from fast_gicp_tpu.ops import covariance, pallas_kernels
+    from fast_gicp_tpu.ops.neighbors import (
+        _masked_target, select_candidate_tiles,
+    )
+
+    n, k, CT, C = 1024, 10, 128, 4
+    pts = _voxel_sorted_cloud(rng, n, extent=10.0)
+    m = np.ones(n, bool)
+    m[-50:] = False
+    p, mask = jnp.asarray(pts), jnp.asarray(m)
+    Q, T = n // 256, n // CT
+    tgt = _masked_target(p, mask)
+    cidx, _ = select_candidate_tiles(
+        p.reshape(Q, 256, 3), tgt.reshape(T, CT, 3), C
+    )
+    mom, kth = pallas_kernels.knn_moments_pallas(
+        p, jnp.ones(n, bool), p, mask, cidx, k, cand_tile=CT,
+        interpret=True,
+    )
+
+    # numpy reference with identical f32 distance arithmetic + key rule
+    tgt_np = np.asarray(tgt, np.float32)
+    valid_np = m.astype(np.float32)
+    cidx_np = np.asarray(cidx)
+    for i in range(0, n - 50, 29):
+        qt_i = i // 256
+        cand_ids = np.concatenate(
+            [np.arange(c * CT, (c + 1) * CT) for c in cidx_np[qt_i]]
+        )
+        cand = tgt_np[cand_ids]
+        d = np.float32(0)
+        for a in range(3):
+            dd = np.float32(pts[i, a]) - cand[:, a]
+            d = d + dd * dd
+        keys = (d.view(np.int32) & np.int32(-4096)) | np.arange(
+            len(cand), dtype=np.int32
+        )
+        sel = np.argsort(keys, kind="stable")[:k]
+        kth_ref = (keys[sel[-1]] & np.int32(-4096)).view(np.float32)
+        np.testing.assert_allclose(float(kth[i]), max(kth_ref, 0.0),
+                                   rtol=1e-6, atol=0)
+        origin = pts[qt_i * 256].astype(np.float64)
+        y = (cand[sel].astype(np.float64) - origin) * valid_np[
+            cand_ids[sel], None
+        ]
+        v = valid_np[cand_ids[sel]]
+        ref = np.array(
+            [v.sum(), y[:, 0].sum(), y[:, 1].sum(), y[:, 2].sum(),
+             (y[:, 0] * y[:, 0]).sum(), (y[:, 0] * y[:, 1]).sum(),
+             (y[:, 0] * y[:, 2]).sum(), (y[:, 1] * y[:, 1]).sum(),
+             (y[:, 1] * y[:, 2]).sum(), (y[:, 2] * y[:, 2]).sum()]
+        )
+        np.testing.assert_allclose(
+            np.asarray(mom[:, i]), ref, rtol=1e-4, atol=1e-4
+        )
+
+
+def test_knn_moment_cols_fused_covariances_close_to_exact(rng):
+    # End statistic check: fused-path covariances (interpret mode) agree
+    # with the exact-kNN epilogue on all but the near-tie neighbor swaps.
+    from fast_gicp_tpu.ops import covariance, soa
+
+    n, k = 1024, 12
+    pts = _voxel_sorted_cloud(rng, n, extent=10.0)
+    p, mask = jnp.asarray(pts), jnp.ones(n, bool)
+    mom, _kth, _excl = covariance._knn_moment_cols_fused(
+        p, mask, k, cand_tile=128, cand_tiles=n // 128, interpret=True
+    )
+    got = covariance._finalize_mom_cols(mom)
+    exact = soa.sym_cols_from_covs(
+        knn_covariances(p, mask, k=k, method="none", approx=False)
+    )
+    diff = np.abs(np.asarray(got) - np.asarray(exact))
+    # <2% of points may differ (quantized tie-breaking); the rest match
+    frac = (diff.max(0) > 1e-3).mean()
+    assert frac < 0.02, frac
+
+
 def test_knn_search_culled_dense_when_few_tiles(rng):
     # cand_tiles >= tile count -> identical to the exact dense search
     from fast_gicp_tpu.ops.neighbors import knn_search_culled
