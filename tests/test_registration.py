@@ -60,12 +60,55 @@ def _forward_backward_swap(reg, pair):
     _check(est, gt)
 
 
+def _swap_and_set_scenarios(make_reg, pair):
+    """The reference's other two swap-state scenarios
+    (gicp_test.cpp:179-201): both directions of the covariance-reuse
+    state machine when only ONE cloud is set before the swap."""
+    source, target, gt = pair
+
+    # swap and set source: source slot holds TARGET -> swap moves it (and
+    # its cached covariances) into the target slot -> set the real source
+    reg = make_reg()
+    reg.set_input_source(target)
+    reg.swap_source_and_target()
+    reg.set_input_source(source)
+    est = reg.align()
+    assert reg.has_converged()
+    _check(est, gt)
+
+    # swap and set target: target slot holds SOURCE -> swap moves it into
+    # the source slot -> set the real target
+    reg = make_reg()
+    reg.set_input_target(source)
+    reg.swap_source_and_target()
+    reg.set_input_target(target)
+    est = reg.align()
+    assert reg.has_converged()
+    _check(est, gt)
+
+
 def test_gicp_alignment(pair_coarse):
-    _forward_backward_swap(FastGICP(), pair_coarse)
+    # the reference even swaps a freshly built (empty) GICP instance
+    # before use (gicp_test.cpp:104-107) — must be a no-op, not an error
+    reg = FastGICP()
+    reg.swap_source_and_target()
+    _forward_backward_swap(reg, pair_coarse)
 
 
 def test_vgicp_alignment(pair_coarse):
     _forward_backward_swap(FastVGICP(), pair_coarse)
+
+
+def test_gicp_swap_and_set_scenarios(pair_coarse):
+    _swap_and_set_scenarios(FastGICP, pair_coarse)
+
+
+def test_vgicp_swap_and_set_scenarios(pair_coarse):
+    _swap_and_set_scenarios(FastVGICP, pair_coarse)
+
+
+def test_ndt_swap_and_set_scenarios(pair_coarse):
+    _swap_and_set_scenarios(NDTCuda, pair_coarse)
 
 
 def test_gicp_adaptive_radius_covariances(pair_coarse):
