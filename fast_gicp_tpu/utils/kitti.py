@@ -588,3 +588,85 @@ def ate_rmse(gt_poses: List[np.ndarray], est_poses: List[np.ndarray]) -> float:
     est = np.asarray([T[:3, 3] for T in est_poses])
     n = min(len(gt), len(est))
     return float(np.sqrt(np.mean(np.sum((gt[:n] - est[:n]) ** 2, axis=1))))
+
+
+def load_poses_kitti(path: str) -> List[np.ndarray]:
+    """Read KITTI 3x4 row-major pose lines (the poses/XX.txt and
+    kitti.cpp:141-153 trajectory format) as a list of 4x4 matrices."""
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    return [np.vstack([r, [0.0, 0.0, 0.0, 1.0]]).astype(np.float64)
+            for r in rows]
+
+
+def align_trajectories(gt_poses, est_poses):
+    """Best rigid SE(3) alignment (Umeyama without scale) of the estimated
+    translations onto ground truth; returns (R, t) with
+    gt_i ~= R @ est_i + t.  Used for the alignment-invariant ATE variant
+    (the direct `ate_rmse` assumes both trajectories start at identity,
+    as under the reference's protocol, kitti.cpp:115-128)."""
+    gt = np.asarray([T[:3, 3] for T in gt_poses], np.float64)
+    est = np.asarray([T[:3, 3] for T in est_poses], np.float64)
+    n = min(len(gt), len(est))
+    gt, est = gt[:n], est[:n]
+    mu_g, mu_e = gt.mean(0), est.mean(0)
+    H = (est - mu_e).T @ (gt - mu_g)
+    U, _s, Vt = np.linalg.svd(H)
+    S = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ S @ U.T
+    return R, mu_g - R @ mu_e
+
+
+def ate_rmse_aligned(gt_poses, est_poses) -> float:
+    """ATE RMSE after the best rigid alignment (drift measure independent
+    of any global frame offset between the two trajectories)."""
+    R, t = align_trajectories(gt_poses, est_poses)
+    gt = np.asarray([T[:3, 3] for T in gt_poses], np.float64)
+    est = np.asarray([T[:3, 3] for T in est_poses], np.float64)
+    n = min(len(gt), len(est))
+    d = gt[:n] - (est[:n] @ R.T + t)
+    return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+
+
+def rpe(gt_poses, est_poses, delta: int = 1):
+    """Relative pose error over a `delta`-frame step: RMSE translation (m)
+    and RMSE rotation (rad) of (gt_i^-1 gt_{i+d})^-1 (est_i^-1 est_{i+d})
+    — the drift-per-step metric (TUM RPE convention), immune to the
+    global accumulation that dominates ATE."""
+    n = min(len(gt_poses), len(est_poses))
+    ts, rs = [], []
+    for i in range(n - delta):
+        dg = np.linalg.inv(gt_poses[i]) @ gt_poses[i + delta]
+        de = np.linalg.inv(est_poses[i]) @ est_poses[i + delta]
+        e = np.linalg.inv(dg) @ de
+        ts.append(float(np.linalg.norm(e[:3, 3])))
+        c = (np.trace(e[:3, :3]) - 1.0) / 2.0
+        rs.append(float(np.arccos(np.clip(c, -1.0, 1.0))))
+    if not ts:
+        return float("nan"), float("nan")
+    return (
+        float(np.sqrt(np.mean(np.square(ts)))),
+        float(np.sqrt(np.mean(np.square(rs)))),
+    )
+
+
+def trajectory_report(gt_poses, est_poses) -> dict:
+    """All trajectory metrics in one dict (the kitti_ate harness payload)."""
+    n = min(len(gt_poses), len(est_poses))
+    gt_t = np.asarray([T[:3, 3] for T in gt_poses[:n]])
+    seg = np.linalg.norm(np.diff(gt_t, axis=0), axis=1)
+    rpe1_t, rpe1_r = rpe(gt_poses, est_poses, 1)
+    rpe10_t, rpe10_r = rpe(gt_poses, est_poses, min(10, max(1, n - 1)))
+    end = float(
+        np.linalg.norm(gt_poses[n - 1][:3, 3] - est_poses[n - 1][:3, 3])
+    )
+    return {
+        "frames": int(n),
+        "path_length_m": float(seg.sum()),
+        "ate_rmse_m": ate_rmse(gt_poses, est_poses),
+        "ate_rmse_aligned_m": ate_rmse_aligned(gt_poses, est_poses),
+        "rpe1_trans_m": rpe1_t,
+        "rpe1_rot_deg": float(np.rad2deg(rpe1_r)),
+        "rpe10_trans_m": rpe10_t,
+        "rpe10_rot_deg": float(np.rad2deg(rpe10_r)),
+        "end_error_m": end,
+    }
