@@ -37,29 +37,43 @@ def approximate_voxel_downsample(
     README.md:116).
 
     The residual +89/+52 point delta is characterized (not just waved
-    at).  Output count = exact voxel count (15771/15949 on this pair) +
+    at).  Output count = exact voxel count (15772/15949 on this pair) +
     collision splits (runs broken by a different voxel evicting the
     bucket).  Sweeping the free parameters of the emulation brackets the
     published counts but never hits them:
 
       histsize   512    1024   1536   2048   3072   4096   exact
-      target    20822  20352  17337  16803  17190  15916  15771
+      target    20823  20353  17338  16803  17190  15916  15772
       source    21435  20885  17570  16789  17372  16166  15949
       published: 17249 / 17518 (between our 1536 and 3072 rows)
 
-    float32-multiply vs float64-divide voxel coords shifts counts by at
-    most 1 point; dropping the final-bucket flush or emulating the
-    NaN-coord int cast only moves counts AWAY from the published values.
-    So the published numbers differ only in which ~5% of collision
-    splits occur — a function of the exact hash/histsize in the PCL
-    build used in 2019, unobtainable offline.  The impact is bounded by
-    tests: fitness at the ground-truth pose and the converged-optimality
-    check (tests/test_registration.py
+    Why exact reproduction is impossible offline, measured on the
+    bundled pair (no PCL checkout ships in this environment):
+
+    * float32-multiply (PCL computes floor(p * (1/leaf)) with the f32
+      reciprocal 9.99999985) vs our float64-divide coords shifts counts
+      by at most 1 point — not the explanation.
+    * the bundled PCDs contain no non-finite points after the
+      near-origin strip, so PCL's NaN-cast behavior is moot here.
+    * adding a constant to the hash permutes bucket ids without changing
+      any collision: counts are INVARIANT (emulation structure check).
+    * but perturbing the hash multipliers at the SAME histsize=1536
+      (7171->7177: 17463/17610; 3079->3083: 16829/17062; 7187/3109:
+      16207/16266) scatters counts over a +-1300 range.  The -88/-52
+      residual to the published counts is therefore deep inside the
+      sensitivity to hash details (constants, promotion width, table
+      size) of the exact 2019 PCL build — unrecoverable without that
+      binary, and an order of magnitude smaller than the count changes
+      any neighboring hash variant produces.
+
+    The impact is bounded by tests: fitness at the ground-truth pose and
+    the converged-optimality check (tests/test_registration.py
     test_fitness_parity_on_pcl_compatible_downsample) pin that
     registration quality is insensitive to this count-level divergence,
-    and test_fitness_sensitivity_to_collision_splits shows the published
+    test_fitness_sensitivity_to_collision_splits shows the published
     0.204067 is within the spread produced by collision-split variation
-    alone.
+    alone, and tests/test_io.py test_approximate_downsample_counts_pinned
+    freezes this emulation's exact counts on the bundled pair.
     """
     if resolution is None or resolution <= 0:
         return np.ascontiguousarray(points[:, :3], dtype=np.float32)

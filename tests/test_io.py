@@ -125,3 +125,28 @@ def test_channel_payloads_ride_through(tmp_path):
     out = reg.aligned_source()
     assert out.shape == (len(dpts), 4)
     np.testing.assert_allclose(out[:, 3:], dch, atol=1e-6)
+
+
+def test_approximate_downsample_counts_pinned():
+    """Freeze the PCL-ApproximateVoxelGrid emulation's exact counts on the
+    bundled benchmark pair (align.cpp:30-36 protocol: near-origin strip,
+    0.1 m leaf).  The reference's published counts are 17249/17518
+    (README.md:116); the residual -88/-52 delta is characterized in the
+    utils/downsample.py docstring as hash-detail noise of the 2019 PCL
+    build (multiplier perturbations at the same table size scatter counts
+    over +-1300).  Any drift in the emulation itself must be deliberate."""
+    from tests.conftest import REFERENCE_DATA
+
+    from fast_gicp_tpu.utils.downsample import (
+        approximate_voxel_downsample, voxel_downsample,
+    )
+    from fast_gicp_tpu.utils.io import load_pcd, strip_near_origin
+
+    t = strip_near_origin(load_pcd(str(REFERENCE_DATA / "251370668.pcd")))
+    s = strip_near_origin(load_pcd(str(REFERENCE_DATA / "251371071.pcd")))
+    assert len(approximate_voxel_downsample(t, 0.1)) == 17338
+    assert len(approximate_voxel_downsample(s, 0.1)) == 17570
+    # exact voxel counts (the collision-free lower bound of the split
+    # decomposition: output = exact + collision splits)
+    assert len(voxel_downsample(t, 0.1)) == 15772
+    assert len(voxel_downsample(s, 0.1)) == 15949
