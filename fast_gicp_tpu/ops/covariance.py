@@ -158,6 +158,20 @@ def knn_covariance_cols(
         return cov6
     if approx and n % 256 == 0 and n >= 512:
         idx, sq, _cert = knn_search_culled(points, points, mask, k=k)
+    elif approx and n >= 4096:
+        import warnings
+
+        warnings.warn(
+            f"knn covariance on a non-256-multiple cloud ({n} points): "
+            "falling back to approx_min_k (~98% recall, no exactness "
+            "certificate). Pad to a 256 multiple for the culled path or "
+            "pass approx=False for the exact search.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        idx, sq = knn_search(
+            points, points, mask, k=k, chunk_size=chunk_size, approx=True
+        )
     else:
         idx, sq = knn_search(
             points, points, mask, k=k, chunk_size=chunk_size, approx=approx
@@ -204,11 +218,30 @@ def knn_covariances(
     reference kdtree).
 
     cov_i = sum_j (x_j - mu)(x_j - mu)^T / k over the k nearest neighbors
-    (fast_gicp_impl.hpp:259-265), then regularized.  approx=True (default)
-    uses the TPU-native tile-culled / approx_min_k neighbor search (~98%
-    recall) — the covariance statistic is insensitive to the tail
-    neighbors.  The compute runs in sym-6 columns (`knn_covariance_cols`);
-    prefer that entry point in device-resident pipelines.
+    (fast_gicp_impl.hpp:259-265), then regularized.
+
+    EXACTNESS CONTRACT (the reference kd-tree path is exact,
+    fast_gicp_impl.hpp:257; the TPU default trades tail-neighbor recall
+    for ~3x speed — see README "Exact vs approximate kNN"):
+
+    * ``approx=False``: exact k-NN via the full blocked dense search on
+      every shape/backend.  Reference-parity statistic.
+    * ``approx=True`` (default), 256-multiple clouds of >= 512 points:
+      the bbox-culled candidate path.  On TPU the fused
+      selection+moments kernel searches the 16 nearest candidate tiles
+      and breaks distance ties at 2^-11 relative quantization; off-TPU
+      the slab search with a per-query exactness certificate
+      (`neighbors.knn_search_culled`: certified queries provably have
+      the exact neighbor set; ~96-97%% of realistic LiDAR queries,
+      misses are sparse far-range tails).  Measured end-to-end
+      registration (t_err/fitness on the bundled pair) is unchanged vs
+      exact.
+    * ``approx=True`` on any other shape: `lax.approx_min_k` full-row
+      search (~98%% recall, no certificate); large clouds emit a
+      RuntimeWarning at trace time so the degradation is never silent.
+
+    The compute runs in sym-6 columns (`knn_covariance_cols`); prefer
+    that entry point in device-resident pipelines.
     """
     cols = knn_covariance_cols(
         points, mask, k=k, method=method, chunk_size=chunk_size,

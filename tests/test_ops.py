@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fast_gicp_tpu.ops import linalg3
 from fast_gicp_tpu.ops.covariance import (
@@ -239,6 +240,43 @@ def test_knn_moment_cols_fused_covariances_close_to_exact(rng):
     # <2% of points may differ (quantized tie-breaking); the rest match
     frac = (diff.max(0) > 1e-3).mean()
     assert frac < 0.02, frac
+
+
+def test_knn_exactness_contract(rng):
+    """The documented exact-vs-approx contract (reference is exact,
+    fast_gicp_impl.hpp:257): approx=False is exact on ANY shape;
+    tile-aligned approx clouds take the certified culled path silently;
+    large non-aligned approx clouds warn about the recall fallback."""
+    import warnings
+
+    from fast_gicp_tpu.ops.covariance import knn_covariances
+
+    # exact path on a deliberately non-aligned shape
+    n = 700
+    pts = _voxel_sorted_cloud(rng, n, extent=8.0)
+    p, mask = jnp.asarray(pts), jnp.ones(n, bool)
+    got = np.asarray(knn_covariances(p, mask, k=8, method="none",
+                                     approx=False))
+    d = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d, axis=1, kind="stable")[:, :8]
+    nbrs = pts[idx]
+    mean = nbrs.mean(1)
+    c = nbrs - mean[:, None, :]
+    want = np.einsum("nki,nkj->nij", c, c) / 8
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    # large non-aligned cloud with approx=True warns (never silent)
+    n2 = 4200
+    pts2 = _voxel_sorted_cloud(rng, n2, extent=12.0)
+    with pytest.warns(RuntimeWarning, match="approx_min_k"):
+        knn_covariances(jnp.asarray(pts2), jnp.ones(n2, bool), k=8)
+
+    # tile-aligned cloud: certified culled path, no warning
+    n3 = 4096
+    pts3 = _voxel_sorted_cloud(rng, n3, extent=12.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        knn_covariances(jnp.asarray(pts3), jnp.ones(n3, bool), k=8)
 
 
 def test_knn_search_culled_dense_when_few_tiles(rng):
