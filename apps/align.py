@@ -103,7 +103,11 @@ def run_device_rows(methods, source, target, n):
     eye = jnp.eye(4, dtype=jnp.float32)
     vcfg = VGICPConfig(grid_dims=dims, refresh_iterations=2)
     gcfg = GICPConfig(refresh_iterations=2)
-    ncfg_d2d = NDTConfig(resolution=1.0, grid_dims=ndims, refresh_iterations=3)
+    # max_source_voxels: the bundled pair occupies ~1.1k voxels at 1.0 m
+    # (measured; D2D iterates every source row per LM iteration, so half
+    # the 4096 default budget saves ~0.4 ms/align at identical t_err)
+    ncfg_d2d = NDTConfig(resolution=1.0, grid_dims=ndims,
+                         refresh_iterations=3, max_source_voxels=2048)
     ncfg_p2d = ncfg_d2d._replace(distance_mode="p2d", refresh_iterations=6)
 
     rng = np.random.default_rng(0)

@@ -65,13 +65,17 @@ class NDTConfig(NamedTuple):
 
 def _ndt_voxelmap(points, mask, resolution, grid_dims=None):
     """NDT voxel map: raw-point statistics + MIN_EIG regularization
-    (gaussian_voxelmap.cu ndt_finalize_voxels_kernel + ndt_cuda.cu:120-140)."""
+    (gaussian_voxelmap.cu ndt_finalize_voxels_kernel + ndt_cuda.cu:120-140).
+
+    The eigenvalue clamp runs cols-native (sym-6 rows straight to the
+    packed rows9 layout) — `regularize_covariances` would symmetrize and
+    round-trip (N, 3, 3) AoS, whose elementwise ops pad to (N, 8, 128)
+    tiles; this build runs twice per D2D align."""
     vm = build_voxelmap(points, mask, resolution, mode="raw", grid_dims=grid_dims)
-    covs = regularize_covariances(vm.covs, "min_eig")
-    # Keep the gather-optimized packed stats in sync with the regularized covs.
-    c = covs.shape[0]
-    packed = vm.packed.at[:, 3:12].set(covs.reshape(c, 9))
-    return vm._replace(covs=covs, packed=packed)
+    C6 = soa.sym_cols_from_covs(vm.covs)
+    rows9 = soa.sym_cols_to_rows9(soa.clamp_eigs_cols(C6, 1e-3))
+    packed = vm.packed.at[:, 3:12].set(rows9)
+    return vm._replace(covs=rows9.reshape(-1, 3, 3), packed=packed)
 
 
 def _cauchy_weight(resolution, e_norm_sq):

@@ -472,15 +472,23 @@ def _build_grid_voxelmap(points, mask, resolution, covs, mode, grid_dims):
     gx, gy, gz = grid_dims
     ncells = gx * gy * gz
 
-    coords = voxel_coord(points, resolution)
+    # Coordinate pipeline in (3, N) columns: every (N, 3) elementwise op
+    # pads its 3-lane dim to 128 on TPU (~43x wasted lanes), and the AoS
+    # min-reduce for the origin is the same known-bad layout the candidate
+    # -tile bbox fix measured at ~0.8 ms/18k points.  The (N, 3) `coords`
+    # view below is test-only and DCE'd inside aligns.
+    coords_c = jnp.floor(
+        jnp.swapaxes(points, 0, 1) / resolution - 0.5
+    ).astype(jnp.int32)  # (3, N)
     origin = jnp.min(
-        jnp.where(mask[:, None], coords, _COORD_SENTINEL), axis=0
+        jnp.where(mask[None, :], coords_c, _COORD_SENTINEL), axis=1
     )
-    rel = coords - origin
+    rel = coords_c - origin[:, None]
     dims = jnp.asarray([gx, gy, gz], jnp.int32)
-    inside = mask & jnp.all((rel >= 0) & (rel < dims), axis=-1)
-    flat = (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2]
+    inside = mask & jnp.all((rel >= 0) & (rel < dims[:, None]), axis=0)
+    flat = (rel[0] * gy + rel[1]) * gz + rel[2]
     flat = jnp.where(inside, flat, ncells)  # park masked/outside points
+    coords = jnp.swapaxes(coords_c, 0, 1)
 
     point_idx = jnp.arange(n, dtype=jnp.int32)
     # Pad the claim table to whole 8-lane rows plus one all-sentinel row so

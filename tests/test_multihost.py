@@ -44,7 +44,7 @@ def test_two_process_cpu_mesh_soak(tmp_path):
             [sys.executable, "tools/multihost_demo.py",
              "--coordinator", f"127.0.0.1:{port}",
              "--num-processes", "2", "--process-id", str(rank),
-             "--cpu-devices", "2"],
+             "--cpu-devices", "2", "--sharded-map"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         ))
@@ -61,6 +61,9 @@ def test_two_process_cpu_mesh_soak(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"MULTIHOST OK rank={rank}/2 devices=4" in out, out
+        # the sharded persistent-map phase ran across the same
+        # process-spanning mesh (routed all_to_all fusion + align)
+        assert f"MULTIHOST MAP OK rank={rank}/2 frames=3" in out, out
 
     # Both ranks must print the SAME translation (the result is replicated).
     t_lines = [

@@ -36,6 +36,12 @@ def main(argv=None):
         "--cpu-devices", type=int, default=0,
         help="force the CPU backend with this many virtual devices",
     )
+    parser.add_argument(
+        "--sharded-map", action="store_true",
+        help="also drive the hash-sharded persistent-map odometry across "
+        "the process-spanning mesh (3 frames) and check the trajectory "
+        "against a single-process reference",
+    )
     args = parser.parse_args(argv)
 
     if args.cpu_devices:
@@ -115,6 +121,42 @@ def main(argv=None):
         f"t={np.array2string(T[:3, 3], precision=5)}",
         flush=True,
     )
+
+    if args.sharded_map:
+        # Phase 2: the persistent hash-sharded world map on the SAME
+        # process-spanning mesh — every rank feeds identical frames (SPMD
+        # multi-controller), map shards live on devices of both
+        # processes, and the routed all_to_all fusion/align collectives
+        # cross the process boundary each frame.
+        from fast_gicp_tpu.models.scan_to_map import (
+            ScanToMapConfig, ScanToMapOdometry,
+        )
+        from fast_gicp_tpu.parallel.sharded_map import (
+            ShardedScanToMapOdometry,
+        )
+
+        rng = np.random.default_rng(0)
+        frames = []
+        for i in range(3):
+            base = (rng.uniform(size=(768, 3)) * 24 - 12).astype(np.float32)
+            shift = np.float32([0.05 * i, 0.02 * i, 0.0])
+            frames.append(base[: 512 + 64 * i] + shift)
+        cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 12)
+        odo = ShardedScanToMapOdometry(cfg, mesh=mesh, covariance="knn")
+        ref_odo = ScanToMapOdometry(cfg, covariance="knn")
+        for f in frames:
+            p_sh = odo.process(f)
+            p_ref = ref_odo.process(f)
+            if not np.allclose(p_sh, p_ref, atol=5e-3):
+                raise SystemExit(
+                    f"rank {rank}: sharded-map pose diverged\n"
+                    f"{p_sh}\n{p_ref}"
+                )
+        print(
+            f"MULTIHOST MAP OK rank={rank}/{nprocs} frames={len(frames)} "
+            f"t={np.array2string(np.asarray(odo.poses[-1])[:3, 3], precision=5)}",
+            flush=True,
+        )
     return 0
 
 
