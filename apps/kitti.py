@@ -6,13 +6,13 @@ kitti.py (src/kitti.py): loads %06d.bin scans, downsamples at 0.25 m, runs
 scan-to-scan registration, chains poses, reports FPS, writes the trajectory
 in KITTI 3x4 row-major format.
 
-Three modes:
+Modes (scan-to-scan `batched` was demoted to a library building block in
+round 4 — the device-side lax.scan beats vmapped pair batches even on
+independent-pair backlogs; see BENCH_BACKLOG.json):
   --mode serial   reference-style loop with covariance reuse via swap
   --mode stream   device-chained serial: every align enqueued with the
                   previous delta as warm start, one sync at the end (default)
-  --mode batched  vmapped pair batches (best when many pairs converge in a
-                  similar number of iterations; a single straggler pair
-                  stalls the whole batch in the vmapped LM loop)
+  --mode scan     whole sequence as ONE jitted lax.scan program
   --mode map      persistent scan-to-map odometry (registers against an
                   incrementally fused world voxel map — beyond the
                   reference's scan-to-scan-only pipeline)
@@ -35,10 +35,9 @@ def main(argv=None):
     parser.add_argument("data_dir", help="directory of KITTI .bin scans")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--mode",
-                        choices=("serial", "stream", "scan", "batched", "map"),
+                        choices=("serial", "stream", "scan", "map"),
                         default="stream")
     parser.add_argument("--downsample", type=float, default=0.25)
-    parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--resolution", type=float, default=1.0)
     parser.add_argument("--out", default="/tmp/traj.txt")
     parser.add_argument(
@@ -58,7 +57,6 @@ def main(argv=None):
     from fast_gicp_tpu.utils.kitti import (
         kitti_scan_paths,
         run_odometry,
-        run_odometry_batched,
         run_odometry_stream,
         save_poses_kitti,
     )
@@ -118,11 +116,8 @@ def main(argv=None):
         dims = auto_grid_dims_multi(scans, args.resolution)
         config = VGICPConfig(resolution=args.resolution, grid_dims=dims)
         poses = run_odometry_stream(scans, args.downsample, config=config)
-    else:
-        config = VGICPConfig(resolution=args.resolution)
-        poses = run_odometry_batched(
-            scans, args.downsample, batch_size=args.batch, config=config
-        )
+    else:  # unreachable: argparse rejects other modes
+        raise SystemExit(f"unknown mode {args.mode}")
     dt = time.perf_counter() - t0
     print(f"{len(poses)} poses in {dt:.1f}s = {len(poses) / dt:.1f} FPS "
           f"(incl. I/O and downsampling)", flush=True)

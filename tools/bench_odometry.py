@@ -35,7 +35,6 @@ def main(n_frames=512, downsample=0.25, out="BENCH_ODOMETRY.json"):
     from fast_gicp_tpu.utils.downsample import voxel_downsample
     from fast_gicp_tpu.utils.kitti import (
         ate_rmse,
-        run_odometry_batched,
         run_odometry_scan,
         run_odometry_stream,
     )
@@ -140,12 +139,6 @@ def main(n_frames=512, downsample=0.25, out="BENCH_ODOMETRY.json"):
 
     # stream mode: per-frame dispatch, device-chained
     bench("stream", lambda: run_odometry_stream(clouds, -1.0, config=cfg),
-          n_frames)
-
-    # batched mode: vmapped independent pairs
-    bench("batched",
-          lambda: run_odometry_batched(clouds, -1.0, batch_size=16,
-                                       config=cfg),
           n_frames)
 
     # persistent scan-to-map (the capability the reference lacks) —
