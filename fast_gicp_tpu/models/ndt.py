@@ -25,8 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import soa
-from ..ops.covariance import regularize_covariances
+from ..ops import pallas_linearize, soa
 from ..ops.voxelmap import (
     build_voxelmap,
     lookup_voxels_cols,
@@ -118,6 +117,11 @@ def make_ndt_objective(
     def _psum(v):
         return v if axis_name is None else jax.lax.psum(v, axis_name)
 
+    if pallas_linearize.supported(n * k):
+        return _make_ndt_objective_fused(
+            P, C_A, src_mask, vmap, offs, n, k, _psum, with_freeze
+        )
+
     def weights(p_b, mu_B, valid):
         e_sq = jnp.sum((mu_B - p_b) ** 2, axis=-2)  # (K, N)
         return jnp.where(valid, _cauchy_weight(vmap.resolution, e_sq), 0.0)
@@ -170,6 +174,71 @@ def make_ndt_objective(
         p_b = jnp.broadcast_to(p_t[None], (k, 3, n))
         w = weights(p_b, mu_B, valid)  # trial-pose Cauchy weight
         return _psum(jnp.sum(soa.error_cols(p_b, mu_B, M, w, valid), 0))
+
+    if with_freeze:
+        return linearize, error, freeze, linearize_frozen
+    return linearize, error
+
+
+def _make_ndt_objective_fused(P, C_A, src_mask, vmap, offs, n, k, _psum,
+                              with_freeze, interpret=False):
+    """Fused-kernel NDT objective: correspondences flattened to L = K*N
+    lanes (offset-major, matching the lookup layout); each LM iteration
+    is ONE voxel-row gather + one Pallas linearize launch, each inner
+    trial one error launch.  The SoA path lowers to ~20 small XLA
+    kernels per iteration, which dominates the solve at 2k source voxels
+    (launch-bound; measured 1.8 ms of a 2.24 ms D2D align in the LM
+    while_loop).  Semantics identical to the SoA path: M frozen at the
+    linearization rotation, Cauchy weight from the trial pose
+    (ndt_compute_derivatives.cu:75-78, :150)."""
+    L = n * k
+    mode = "p2d" if C_A is None else "d2d"
+
+    def _pad8(a):
+        return jnp.concatenate([a, jnp.zeros((8 - a.shape[0], L), a.dtype)])
+
+    P8 = _pad8(jnp.tile(P, (1, k)))  # (8, L) loop-invariant
+    CA8 = (
+        jnp.zeros((8, L), P.dtype) if C_A is None
+        else _pad8(jnp.tile(C_A, (1, k)))
+    )
+
+    def freeze(x):
+        p_t = soa.transform_cols(x, P)
+        coords = jnp.floor(p_t / vmap.resolution - 0.5).astype(jnp.int32)
+        qx = coords[0][None, :] + offs[0]  # (K, N)
+        qy = coords[1][None, :] + offs[1]
+        qz = coords[2][None, :] + offs[2]
+        vids = lookup_voxels_cols(vmap, qx, qy, qz)
+        rows = vmap.packed[jnp.maximum(vids, 0)]  # (K, N, 16)
+        ft = rows.reshape(L, 16).T  # one transpose per freeze
+        valid = (
+            (vids.reshape(L) >= 0)
+            & jnp.tile(src_mask, k)
+            & (ft[12] > _MIN_VOXEL_POINTS)
+        ).astype(P.dtype)
+        cov6 = ft[jnp.array([3, 4, 5, 7, 8, 11])]
+        if C_A is None:
+            # P2D: M = cov_B^-1 is pose-independent — invert at the freeze
+            cov6 = soa.inv_sym_cols(cov6)
+        pack = jnp.concatenate(
+            [ft[0:3], cov6, valid[None], jnp.zeros((6, L), P.dtype)]
+        )  # (16, L): [mu, cov_B or M, valid]
+        return pack
+
+    def linearize_frozen(x, pack):
+        err, H, b, aux = pallas_linearize.ndt_linearize_pallas(
+            P8, CA8, x, pack, vmap.resolution, mode, interpret=interpret
+        )
+        return _psum(err), _psum(H), _psum(b), aux
+
+    def linearize(x):
+        return linearize_frozen(x, freeze(x))
+
+    def error(x, aux):
+        return _psum(pallas_linearize.ndt_error_pallas(
+            P8, aux, x, vmap.resolution, interpret=interpret
+        ))
 
     if with_freeze:
         return linearize, error, freeze, linearize_frozen

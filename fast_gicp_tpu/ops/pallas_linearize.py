@@ -264,6 +264,139 @@ def _linearize_call(kernel, p_src, ca, x, rows_t, valid_f, interpret):
         ],
         interpret=interpret,
     )(p_src, ca, x_tile, rows_t, valid_f)
+    return _unpack_out(out) + (aux,)
+
+
+def _ndt_lin_core(ps_ref, x_ref, out_ref, aux_ref, i,
+                  q0, q1, q2, m, valid):
+    """Shared NDT linearize tail: Cauchy weight from the CURRENT error
+    (ndt_compute_derivatives.cu:15-18,:78,:150 — w tracks the evaluation
+    pose while M stays frozen), then the same (err, H, b) 28-row
+    reduction as the GICP kernel."""
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = x_ref
+    c_sq = x[4, 0]  # voxel resolution^2, stashed in the pose tile
+    s0, s1, s2 = ps_ref[0], ps_ref[1], ps_ref[2]
+    p0, p1, p2 = _transform_cols(x, s0, s1, s2)
+    m00, m01, m02, m11, m12, m22 = m
+
+    e0, e1, e2 = q0 - p0, q1 - p1, q2 - p2
+    w = c_sq / (c_sq + e0 * e0 + e1 * e1 + e2 * e2) * valid
+
+    (me0, me1, me2), err_n = _mahalanobis_core(p0, p1, p2, q0, q1, q2, m)
+
+    g00 = m01 * p2 - m02 * p1
+    g10 = m11 * p2 - m12 * p1
+    g20 = m12 * p2 - m22 * p1
+    g01 = m02 * p0 - m00 * p2
+    g11 = m12 * p0 - m01 * p2
+    g21 = m22 * p0 - m02 * p2
+    g02 = m00 * p1 - m01 * p0
+    g12 = m01 * p1 - m11 * p0
+    g22 = m02 * p1 - m12 * p0
+    h = [
+        err_n,
+        p2 * g10 - p1 * g20, p2 * g11 - p1 * g21, p2 * g12 - p1 * g22,
+        p0 * g21 - p2 * g01, p0 * g22 - p2 * g02, p1 * g02 - p0 * g12,
+        p1 * m02 - p2 * m01, p1 * m12 - p2 * m11, p1 * m22 - p2 * m12,
+        p2 * m00 - p0 * m02, p2 * m01 - p0 * m12, p2 * m02 - p0 * m22,
+        p0 * m01 - p1 * m00, p0 * m11 - p1 * m01, p0 * m12 - p1 * m02,
+        m00, m01, m02, m11, m12, m22,
+        p2 * me1 - p1 * me2, p0 * me2 - p2 * me0, p1 * me0 - p0 * me1,
+        -me0, -me1, -me2,
+    ]
+    acc = jnp.stack([jnp.sum(w * hk) for hk in h])  # (28,)
+    acc2d = jnp.concatenate([acc, jnp.zeros(4, acc.dtype)]).reshape(1, 32)
+    out_ref[0:1, :] += acc2d
+
+    aux_ref[0] = m00
+    aux_ref[1] = m01
+    aux_ref[2] = m02
+    aux_ref[3] = m11
+    aux_ref[4] = m12
+    aux_ref[5] = m22
+    aux_ref[6] = valid
+    aux_ref[7] = q0
+    aux_ref[8] = q1
+    aux_ref[9] = q2
+    z = jnp.zeros_like(p0)
+    for k in range(10, 16):
+        aux_ref[k] = z
+
+
+def _ndt_d2d_lin_kernel(ps_ref, ca_ref, x_ref, pack_ref, out_ref, aux_ref):
+    """D2D: pack rows [mu (3), cov_B sym-6 (6), valid (9), pad];
+    M = (cov_B + R C_A R^T)^-1 computed in-kernel at the linearization
+    pose (compute_derivatives-style R_eval freeze)."""
+    i = pl.program_id(0)
+    q0, q1, q2 = pack_ref[0], pack_ref[1], pack_ref[2]
+    cb = tuple(pack_ref[3 + k] for k in range(6))
+    valid = pack_ref[9]
+    cr = _rotate_sym_cols(
+        x_ref, ca_ref[0], ca_ref[1], ca_ref[2], ca_ref[3], ca_ref[4],
+        ca_ref[5],
+    )
+    s = tuple(cb[k] + cr[k] for k in range(6))
+    m = tuple(mk * valid for mk in _sym_inv(*s))
+    _ndt_lin_core(ps_ref, x_ref, out_ref, aux_ref, i, q0, q1, q2, m, valid)
+
+
+def _ndt_p2d_lin_kernel(ps_ref, ca_ref, x_ref, pack_ref, out_ref, aux_ref):
+    """P2D: pack rows [mu (3), M = cov_B^-1 sym-6 (6), valid (9)] — the
+    Mahalanobis is pose-independent and arrives pre-inverted from the
+    freeze (ca_ref is an unused placeholder to share the call shape)."""
+    i = pl.program_id(0)
+    del ca_ref
+    q0, q1, q2 = pack_ref[0], pack_ref[1], pack_ref[2]
+    valid = pack_ref[9]
+    m = tuple(pack_ref[3 + k] * valid for k in range(6))
+    _ndt_lin_core(ps_ref, x_ref, out_ref, aux_ref, i, q0, q1, q2, m, valid)
+
+
+@partial(jax.jit, static_argnames=("mode", "interpret"))
+def ndt_linearize_pallas(p_src, ca, x, pack, resolution, mode: str,
+                         interpret: bool = False):
+    """Fused NDT linearize over flattened (offset x voxel) lanes.
+
+    p_src / ca: (8, L) untransformed source columns and sym-6 source
+    covariance columns, tiled across the offset axis (loop-invariant; ca
+    is ignored for mode='p2d'). pack: (16, L) frozen voxel rows
+    [mu(3), cov_B or M (6), valid]. Returns (err, H, b, aux)."""
+    L = p_src.shape[1]
+    if L % _NT:
+        raise ValueError(f"L={L} not a multiple of {_NT}")
+    kernel = _ndt_d2d_lin_kernel if mode == "d2d" else _ndt_p2d_lin_kernel
+    x_tile = (
+        jnp.zeros((8, 128), p_src.dtype)
+        .at[:4, :4].set(x)
+        .at[4, 0].set(jnp.asarray(resolution, p_src.dtype) ** 2)
+    )
+    out, aux = pl.pallas_call(
+        kernel,
+        grid=(L // _NT,),
+        in_specs=[
+            pl.BlockSpec((8, _NT), lambda i: (0, i)),
+            pl.BlockSpec((8, _NT), lambda i: (0, i)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
+            pl.BlockSpec((16, _NT), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 32), lambda i: (0, 0)),
+            pl.BlockSpec((_AUX_ROWS, _NT), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 32), jnp.float32),
+            jax.ShapeDtypeStruct((_AUX_ROWS, L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(p_src, ca, x_tile, pack)
+    return _unpack_out(out) + (aux,)
+
+
+def _unpack_out(out):
     s = out[0]
     err = s[0]
     (h00, h01, h02, h11, h12, h22,
@@ -278,7 +411,60 @@ def _linearize_call(kernel, p_src, ca, x, rows_t, valid_f, interpret):
         jnp.stack([a01, a11, a21, t01, t11, t12]),
         jnp.stack([a02, a12, a22, t02, t12, t22]),
     ])
-    return err, H, b, aux
+    return err, H, b
+
+
+def _ndt_error_kernel(p_ref, x_ref, aux_ref, out_ref):
+    """Trial-pose NDT error: frozen M from aux, Cauchy weight recomputed
+    from the TRIAL error (the reference's fused kernels evaluate w inline
+    per call, ndt_compute_derivatives.cu:106-135)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    c_sq = x_ref[4, 0]
+    s0, s1, s2 = p_ref[0], p_ref[1], p_ref[2]
+    p0, p1, p2 = _transform_cols(x_ref, s0, s1, s2)
+    m = tuple(aux_ref[k] for k in range(6))
+    valid = aux_ref[6]
+    q0, q1, q2 = aux_ref[7], aux_ref[8], aux_ref[9]
+    e0, e1, e2 = q0 - p0, q1 - p1, q2 - p2
+    w = c_sq / (c_sq + e0 * e0 + e1 * e1 + e2 * e2) * valid
+    _, err_n = _mahalanobis_core(p0, p1, p2, q0, q1, q2, m)
+    s = jnp.sum(w * err_n)
+    lane0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1) == 0
+    ).astype(s.dtype)
+    out_ref[0:1, :] += s * lane0
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def ndt_error_pallas(p_src, aux, x, resolution, interpret: bool = False):
+    """Fused NDT trial error against the frozen aux pack (one launch per
+    LM inner trial)."""
+    L = p_src.shape[1]
+    if L % _NT:
+        raise ValueError(f"L={L} not a multiple of {_NT}")
+    x_tile = (
+        jnp.zeros((8, 128), p_src.dtype)
+        .at[:4, :4].set(x)
+        .at[4, 0].set(jnp.asarray(resolution, p_src.dtype) ** 2)
+    )
+    out = pl.pallas_call(
+        _ndt_error_kernel,
+        grid=(L // _NT,),
+        in_specs=[
+            pl.BlockSpec((8, _NT), lambda i: (0, i)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
+            pl.BlockSpec((_AUX_ROWS, _NT), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((8, 32), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, 32), jnp.float32),
+        interpret=interpret,
+    )(p_src, x_tile, aux)
+    return out[0, 0]
 
 
 def _error_kernel(p_ref, x_ref, aux_ref, out_ref):
