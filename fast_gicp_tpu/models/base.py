@@ -43,6 +43,11 @@ class Cloud:
     covs: Optional[jax.Array] = None  # (M, 3, 3) f32
     host_points: Optional[np.ndarray] = None  # (M, 3) f32 (native paths)
     channels: Optional[np.ndarray] = None  # (M, C) payload (host-side)
+    # NDT per-cloud state cache: (key, voxel map, compact source stats) —
+    # the reference keeps both voxelmaps alive across aligns and swaps
+    # them with the clouds (ndt_cuda.cu:70-93); swapping Cloud objects
+    # carries this cache exactly like the covariance cache.
+    ndt_cache: Optional[tuple] = None
 
 
 def estimate_covariances(
@@ -180,8 +185,10 @@ class Registration:
         full re-estimation without re-uploading the clouds."""
         if self._source is not None:
             self._source.covs = None
+            self._source.ndt_cache = None
         if self._target is not None:
             self._target.covs = None
+            self._target.ndt_cache = None
 
     def _require_source(self) -> Cloud:
         if self._source is None:

@@ -313,14 +313,9 @@ def _ndt_objective_for(
     target_vm = _ndt_voxelmap(
         target, target_mask, config.resolution, grid_dims=config.grid_dims
     )
-    offsets = jnp.asarray(
-        neighbor_offsets(
-            config.neighbor_search_method, config.neighbor_search_radius
-        )
-    )
     if config.distance_mode == "p2d":
-        return make_ndt_objective(
-            source, source_mask, None, target_vm, offsets, config,
+        return _ndt_objective_prebuilt(
+            source, source_mask, None, target_vm, config,
             with_freeze=with_freeze,
         )
     if config.distance_mode == "d2d":
@@ -330,16 +325,89 @@ def _ndt_objective_for(
         means, mask, covs = _compact_source_voxels(
             source_vm, config.max_source_voxels
         )
-        return make_ndt_objective(
-            means,
-            mask,
-            covs,
-            target_vm,
-            offsets,
-            config,
+        return _ndt_objective_prebuilt(
+            source, source_mask, (means, mask, covs), target_vm, config,
             with_freeze=with_freeze,
         )
     raise ValueError(f"unknown NDT distance mode: {config.distance_mode}")
+
+
+def _ndt_objective_prebuilt(
+    source, source_mask, source_compact, target_vm, config,
+    with_freeze=False,
+):
+    """Objective from PREBUILT per-cloud state: the target voxel map and
+    (D2D) the compacted source voxel stats.  This is the reference's
+    actual state model — NDTCudaCore keeps both voxelmaps alive across
+    aligns and `swap_source_and_target` swaps them instead of rebuilding
+    (ndt_cuda.cu:90-93) — so the class API caches these per Cloud."""
+    offsets = jnp.asarray(
+        neighbor_offsets(
+            config.neighbor_search_method, config.neighbor_search_radius
+        )
+    )
+    if source_compact is None:  # P2D: raw source points vs target voxels
+        return make_ndt_objective(
+            source, source_mask, None, target_vm, offsets, config,
+            with_freeze=with_freeze,
+        )
+    means, mask, covs = source_compact
+    return make_ndt_objective(
+        means, mask, covs, target_vm, offsets, config,
+        with_freeze=with_freeze,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ndt_prepare_cloud(points, mask, config: NDTConfig):
+    """Per-cloud NDT state: (voxel map, compacted source stats) — built
+    once per cloud and cached by the class API (the reference builds
+    voxelmaps at set_input_* time and swaps them, ndt_cuda.cu:70-93)."""
+    vm = _ndt_voxelmap(
+        points, mask, config.resolution, grid_dims=config.grid_dims
+    )
+    compact = _compact_source_voxels(vm, config.max_source_voxels)
+    return vm, compact
+
+
+@partial(jax.jit, static_argnames=("config",))
+@f32_matmuls
+def ndt_align_prebuilt(
+    source,
+    source_mask,
+    source_compact,
+    target_vm,
+    guess,
+    config: NDTConfig = NDTConfig(),
+) -> LsqResult:
+    """NDT align against prebuilt per-cloud state (see ndt_prepare_cloud);
+    same two-phase refresh semantics as `ndt_align`."""
+    x0 = guess.astype(source.dtype)
+    sc = source_compact if config.distance_mode == "d2d" else None
+    R = config.refresh_iterations
+    if not R or R >= config.lsq.max_iterations:
+        lin, err = _ndt_objective_prebuilt(
+            source, source_mask, sc, target_vm, config
+        )
+        return lsq_solve(lin, err, x0, config.lsq)
+    lin, err, freeze, lin_frozen = _ndt_objective_prebuilt(
+        source, source_mask, sc, target_vm, config, with_freeze=True
+    )
+    p1 = lsq_solve(lin, err, x0, config.lsq._replace(max_iterations=R))
+    frozen = freeze(p1.transformation)
+    p2 = lsq_solve(
+        lambda x: lin_frozen(x, frozen),
+        err,
+        p1.transformation,
+        config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
+    )
+    return LsqResult(
+        transformation=p2.transformation,
+        hessian=p2.hessian,
+        error=p2.error,
+        converged=p2.converged,
+        iterations=p1.iterations + p2.iterations,
+    )
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -409,14 +477,31 @@ class NDTCuda(Registration):
         )
         return auto_grid_dims(pts, self.resolution)
 
+    def _ensure_prepared(self, cloud: Cloud, config: NDTConfig):
+        """Per-cloud voxel map + compact stats, cached on the Cloud (the
+        reference builds voxelmaps at set_input_* and swaps them with the
+        clouds, ndt_cuda.cu:70-93 — swap here moves the cache the same
+        way).  Keyed by the map-shaping parameters."""
+        key = (config.resolution, config.grid_dims, config.max_source_voxels)
+        if cloud.ndt_cache is None or cloud.ndt_cache[0] != key:
+            vm, compact = ndt_prepare_cloud(cloud.points, cloud.mask, config)
+            cloud.ndt_cache = (key, vm, compact)
+        return cloud.ndt_cache[1], cloud.ndt_cache[2]
+
     def _compute(self, source: Cloud, target: Cloud, guess):
-        return ndt_align(
+        config = self._config(grid_dims=self._grid_dims(source, target))
+        target_vm, _ = self._ensure_prepared(target, config)
+        source_compact = (
+            self._ensure_prepared(source, config)[1]
+            if self.distance_mode == "d2d" else None
+        )
+        return ndt_align_prebuilt(
             source.points,
             source.mask,
-            target.points,
-            target.mask,
+            source_compact,
+            target_vm,
             guess,
-            self._config(grid_dims=self._grid_dims(source, target)),
+            config,
         )
 
     def _evaluate(self, source: Cloud, target: Cloud, pose):

@@ -111,6 +111,31 @@ def test_ndt_swap_and_set_scenarios(pair_coarse):
     _swap_and_set_scenarios(NDTCuda, pair_coarse)
 
 
+def test_ndt_voxelmap_cache_swaps_with_clouds(pair_coarse):
+    """The reference keeps both NDT voxelmaps alive across aligns and
+    swap moves them with the clouds (ndt_cuda.cu:90-93); the per-Cloud
+    cache must behave identically — swap carries it, and the reused map
+    still meets the accuracy contract."""
+    source, target, gt = pair_coarse
+    reg = NDTCuda()
+    reg.set_input_target(target)
+    reg.set_input_source(source)
+    est = reg.align()
+    _check(est, gt)
+    src_cache = reg._source.ndt_cache
+    tgt_cache = reg._target.ndt_cache
+    assert src_cache is not None and tgt_cache is not None
+    reg.swap_source_and_target()
+    assert reg._source.ndt_cache is tgt_cache  # moved, not rebuilt
+    assert reg._target.ndt_cache is src_cache
+    est = reg.align()
+    assert reg._target.ndt_cache is src_cache  # align reused the cache
+    _check(est, np.linalg.inv(gt))
+    # clear_covariances (the fresh-protocol reset) drops the map cache
+    reg.clear_covariances()
+    assert reg._source.ndt_cache is None and reg._target.ndt_cache is None
+
+
 def test_gicp_adaptive_radius_covariances(pair_coarse):
     """GICP with the TPU-native adaptive-radius covariance estimator hits
     the reference alignment tolerances (the estimator replaces the exact
