@@ -224,10 +224,10 @@ def nn_search_pallas(query, target, target_mask, interpret: bool = False):
 _KNN_TILE = 256  # candidate/query tile granularity of the slab kNN kernel
 
 
-def _make_knn_slab_kernel(k: int, C: int):
+def _make_knn_slab_kernel(k: int, C: int, ct: int):
     def kernel(cidx_ref, q_ref, c_ref, idx_ref, sq_ref):
         qi = pl.program_id(0)
-        # d: (QT, C*256) distance slab, held as a value (VMEM/registers)
+        # d: (QT, C*ct) distance slab, held as a value (VMEM/registers)
         d = jnp.concatenate(
             [_sq_dists(q_ref[:], c_ref[0, j]) for j in range(C)], axis=1
         )
@@ -235,21 +235,22 @@ def _make_knn_slab_kernel(k: int, C: int):
         for i in range(k):  # static unroll: k iterated argmin-and-mask
             m = jnp.min(d, axis=1)
             am = jnp.argmin(d, axis=1).astype(jnp.int32)
-            sub = am // _KNN_TILE
+            sub = am // ct
             # slab-local -> global: C scalar compares against this query
             # tile's candidate ids in SMEM (never a gather)
             g = jnp.zeros_like(am)
             for j in range(C):
                 g = jnp.where(sub == j, cidx_ref[qi, j], g)
-            idx_ref[:, i] = g * _KNN_TILE + am % _KNN_TILE
+            idx_ref[:, i] = g * ct + am % ct
             sq_ref[:, i] = jnp.maximum(m, 0.0)
             d = jnp.where(iota == am[:, None], _BIG, d)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k", "interpret"))
+@partial(jax.jit, static_argnames=("k", "cand_tile", "interpret"))
 def knn_slab_pallas(query, qmask, target, tmask, cidx, k: int,
+                    cand_tile: int | None = None,
                     interpret: bool = False):
     """k-NN restricted to per-query-tile candidate slabs: for query tile i
     only the target tiles `cidx[i]` (chosen by bbox gap in
@@ -266,24 +267,25 @@ def knn_slab_pallas(query, qmask, target, tmask, cidx, k: int,
 
     Returns (idx (Nq, k) int32 GLOBAL target ids, sq (Nq, k) f32 ascending).
     """
+    ct = _KNN_TILE if cand_tile is None else cand_tile
     nq, nt = query.shape[0], target.shape[0]
     Q, C = cidx.shape
-    if nq != Q * _KNN_TILE or nt % _KNN_TILE:
-        raise ValueError(f"sizes ({nq},{nt}) not {_KNN_TILE}-tiled for {Q}")
-    T = nt // _KNN_TILE
+    if nq != Q * _KNN_TILE or nt % ct:
+        raise ValueError(f"sizes ({nq},{nt}) not tiled for Q={Q}, ct={ct}")
+    T = nt // ct
     qT = _prep_transposed(query, qmask)
     tT = _prep_transposed(target, tmask)
-    # (T, 8*256) tile rows -> whole-row candidate gather (grid8 lore: big
+    # (T, 8*ct) tile rows -> whole-row candidate gather (grid8 lore: big
     # contiguous rows, never a 1-D scalar-core gather)
-    rows = tT.reshape(8, T, _KNN_TILE).transpose(1, 0, 2).reshape(T, -1)
-    candT = rows[cidx].reshape(Q, C, 8, _KNN_TILE)
+    rows = tT.reshape(8, T, ct).transpose(1, 0, 2).reshape(T, -1)
+    candT = rows[cidx].reshape(Q, C, 8, ct)
     return pl.pallas_call(
-        _make_knn_slab_kernel(k, C),
+        _make_knn_slab_kernel(k, C, ct),
         grid=(Q,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, _KNN_TILE), lambda i: (0, i)),
-            pl.BlockSpec((1, C, 8, _KNN_TILE), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, C, 8, ct), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((_KNN_TILE, k), lambda i: (i, 0)),

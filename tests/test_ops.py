@@ -126,6 +126,22 @@ def test_knn_slab_pallas_matches_xla_slab(rng):
     # ascending output order (the kernel's contract)
     assert np.all(np.diff(np.asarray(sq_k), axis=1) >= -1e-6)
 
+    # cand_tile=128 variant (finer candidate tiles, same query tiling):
+    # full coverage (C = T) must reproduce the exact search
+    CT = 128
+    tt2 = _masked_target(p, mask).reshape(-1, CT, 3)
+    cidx2, _ = select_candidate_tiles(qt, tt2, tt2.shape[0])
+    idx_f, sq_f = pallas_kernels.knn_slab_pallas(
+        p, jnp.ones(n, bool), p, mask, cidx2, k, cand_tile=CT,
+        interpret=True,
+    )
+    from fast_gicp_tpu.ops.neighbors import knn_search
+
+    idx_e, sq_e = knn_search(p, p, mask, k=k, approx=False)
+    np.testing.assert_allclose(
+        np.asarray(sq_f), np.asarray(sq_e), rtol=1e-3, atol=1e-3
+    )
+
 
 def test_select_candidate_tiles_exact_gaps(rng):
     # Regression: the bbox gap term `tlo - qhi` was paired on the wrong
