@@ -96,11 +96,24 @@ def lsq_solve(
             delta, config.rotation_epsilon, config.transformation_epsilon
         )
 
+    from .ops import pallas_solver
+
+    fused_trial = pallas_solver.supported()
+
+    def trial(H, b, lam, x):
+        """(xi, delta, d, denom) for one solve+exp+compose trial step —
+        one Pallas launch on TPU (the XLA graph is ~50-60 scalar-sized
+        fusions whose launch overhead dominates LM iterations)."""
+        if fused_trial:
+            return pallas_solver.lm_trial_pallas(H, b, lam, x)
+        d = _solve_refined(H + lam * eye6, -b)
+        delta = se3.se3_exp(d)
+        return delta @ x, delta, d, jnp.dot(d, lam * d - b)
+
     def gn_step(x, lam):
         y0, H, b, _aux = linearize_fn(x)
-        d = _solve_refined(H, -b)
-        delta = se3.se3_exp(d)
-        return delta @ x, lam, delta, H, y0, jnp.array(True)
+        xi, delta, _d, _denom = trial(H, b, jnp.zeros((), dtype), x)
+        return xi, lam, delta, H, y0, jnp.array(True)
 
     def lm_step(x, lam):
         y0, H, b, aux = linearize_fn(x)
@@ -116,11 +129,9 @@ def lsq_solve(
 
         def inner_body(s):
             j, lam, nu, x_cur, _delta, _acc, _cr, _rho = s
-            d = _solve_refined(H + lam * eye6, -b)
-            delta = se3.se3_exp(d)
-            xi = delta @ x_cur
+            xi, delta, d, denom = trial(H, b, lam, x_cur)
             yi = error_fn(xi, aux)
-            rho = (y0 - yi) / jnp.dot(d, lam * d - b)
+            rho = (y0 - yi) / denom
 
             if config.debug_print:
                 jax.debug.print(

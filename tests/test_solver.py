@@ -85,3 +85,42 @@ def test_hessian_is_spd_at_optimum(rng):
     H = np.asarray(res.hessian)
     np.testing.assert_allclose(H, H.T, rtol=1e-4, atol=1e-3)
     assert np.all(np.linalg.eigvalsh(H) > 0)
+
+
+def test_lm_trial_pallas_matches_xla(rng):
+    """The fused trial-step kernel (interpret mode on CPU) against the
+    solver's XLA math: refined Cholesky solve, se3_exp (incl. the Taylor
+    small-angle branch), compose, and the rho denominator."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_gicp_tpu import se3
+    from fast_gicp_tpu.ops import pallas_solver
+    from fast_gicp_tpu.ops import linalg3
+    from fast_gicp_tpu.solver import _solve_refined
+
+    for scale, lam in ((1.0, 0.37), (1e-8, 0.0), (50.0, 3.0)):
+        A = rng.normal(size=(6, 6)).astype(np.float32)
+        H = jnp.asarray(A @ A.T + 2.0 * np.eye(6, dtype=np.float32))
+        b = jnp.asarray(rng.normal(size=6).astype(np.float32) * scale)
+        x = jnp.asarray(np.asarray(
+            se3.se3_exp(jnp.asarray(
+                rng.normal(size=6).astype(np.float32) * 0.3))))
+        lamj = jnp.asarray(lam, jnp.float32)
+
+        d_ref = _solve_refined(H + lamj * jnp.eye(6, dtype=jnp.float32), -b)
+        delta_ref = se3.se3_exp(d_ref)
+        xi_ref = delta_ref @ x
+        denom_ref = jnp.dot(d_ref, lamj * d_ref - b)
+
+        xi, delta, d, denom = pallas_solver.lm_trial_pallas(
+            H, b, lamj, x, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(delta), np.asarray(delta_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(denom), float(denom_ref),
+                                   rtol=1e-4, atol=1e-10)
