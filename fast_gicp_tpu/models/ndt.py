@@ -362,11 +362,16 @@ def _ndt_objective_prebuilt(
 def ndt_prepare_cloud(points, mask, config: NDTConfig):
     """Per-cloud NDT state: (voxel map, compacted source stats) — built
     once per cloud and cached by the class API (the reference builds
-    voxelmaps at set_input_* time and swaps them, ndt_cuda.cu:70-93)."""
+    voxelmaps at set_input_* time and swaps them, ndt_cuda.cu:70-93).
+    The compact stats exist only for D2D (P2D never consumes them;
+    config is static, so the nonzero compaction traces away entirely)."""
     vm = _ndt_voxelmap(
         points, mask, config.resolution, grid_dims=config.grid_dims
     )
-    compact = _compact_source_voxels(vm, config.max_source_voxels)
+    compact = (
+        _compact_source_voxels(vm, config.max_source_voxels)
+        if config.distance_mode == "d2d" else None
+    )
     return vm, compact
 
 
@@ -481,8 +486,11 @@ class NDTCuda(Registration):
         """Per-cloud voxel map + compact stats, cached on the Cloud (the
         reference builds voxelmaps at set_input_* and swaps them with the
         clouds, ndt_cuda.cu:70-93 — swap here moves the cache the same
-        way).  Keyed by the map-shaping parameters."""
-        key = (config.resolution, config.grid_dims, config.max_source_voxels)
+        way).  Keyed by the map-shaping parameters plus the distance
+        mode (P2D caches no compact stats; a later D2D align must not
+        reuse that entry)."""
+        key = (config.resolution, config.grid_dims,
+               config.max_source_voxels, config.distance_mode)
         if cloud.ndt_cache is None or cloud.ndt_cache[0] != key:
             vm, compact = ndt_prepare_cloud(cloud.points, cloud.mask, config)
             cloud.ndt_cache = (key, vm, compact)

@@ -143,12 +143,15 @@ def knn_covariance_cols(
     shapes fall back to the blocked full search.  See `knn_covariances`
     for the exactness contract.
     """
+    import os
+
     n = points.shape[0]
     if (
         approx
         and n % 256 == 0
         and n >= 512
         and jax.default_backend() == "tpu"
+        and not os.environ.get("FAST_GICP_TPU_NO_FUSED")  # kernel kill switch
         and method in ("plane", "none")
     ):
         mom, _kth, _excl = _knn_moment_cols_fused(points, mask, k)

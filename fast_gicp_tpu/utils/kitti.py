@@ -655,7 +655,11 @@ def trajectory_report(gt_poses, est_poses) -> dict:
     gt_t = np.asarray([T[:3, 3] for T in gt_poses[:n]])
     seg = np.linalg.norm(np.diff(gt_t, axis=0), axis=1)
     rpe1_t, rpe1_r = rpe(gt_poses, est_poses, 1)
-    rpe10_t, rpe10_r = rpe(gt_poses, est_poses, min(10, max(1, n - 1)))
+    # short trajectories can't form a 10-frame step; the delta actually
+    # used is reported so rows from different-length runs aren't silently
+    # compared as the same metric
+    delta10 = min(10, max(1, n - 1))
+    rpe10_t, rpe10_r = rpe(gt_poses, est_poses, delta10)
     end = float(
         np.linalg.norm(gt_poses[n - 1][:3, 3] - est_poses[n - 1][:3, 3])
     )
@@ -666,6 +670,7 @@ def trajectory_report(gt_poses, est_poses) -> dict:
         "ate_rmse_aligned_m": ate_rmse_aligned(gt_poses, est_poses),
         "rpe1_trans_m": rpe1_t,
         "rpe1_rot_deg": float(np.rad2deg(rpe1_r)),
+        "rpe10_delta_frames": int(delta10),
         "rpe10_trans_m": rpe10_t,
         "rpe10_rot_deg": float(np.rad2deg(rpe10_r)),
         "end_error_m": end,

@@ -88,8 +88,8 @@ def print_report(title: str, rep: dict) -> None:
           f"(best rigid alignment)")
     print(f"  RPE (1 frame)     {rep['rpe1_trans_m']:.4f} m / "
           f"{rep['rpe1_rot_deg']:.4f} deg")
-    print(f"  RPE (10 frames)   {rep['rpe10_trans_m']:.4f} m / "
-          f"{rep['rpe10_rot_deg']:.4f} deg")
+    print(f"  RPE ({rep['rpe10_delta_frames']} frames)  "
+          f"{rep['rpe10_trans_m']:.4f} m / {rep['rpe10_rot_deg']:.4f} deg")
     print(f"  end-point error   {rep['end_error_m']:.4f} m")
 
 
