@@ -22,9 +22,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import se3
 from ..solver import LsqConfig
 from ..utils.padding import DEFAULT_BUCKET, pad_points
 from .metrics import fitness_score
+
+
+def centered_frame_align(run, source, target, target_mask, guess):
+    """Run an align in the TARGET-CENTROID frame, report world results.
+
+    The GICP-family Jacobian J = [skew(T p) | -I] puts |p|^2-scale
+    entries in the f32-accumulated normal equations; at survey-frame
+    coordinates (UTM-style 1e4 m offsets) the rotation block reaches
+    ~1e14 and f32 accumulation error (~1e7 absolute) swamps the
+    small-signal translation blocks — measured: even an f64 solve of the
+    f32-accumulated H cannot recover a 0.2 m shift.  Registering about
+    the target centroid bounds lever arms by the cloud extent; the pose
+    conjugates back exactly (X = T(c) X' T(-c)) and the reported 6x6
+    returns to world twists through the translation adjoint
+    (H = A^T H' A with A = adjoint_translation(c)).
+
+    `run(source_c, target_c, guess_c) -> LsqResult` is the uncentered
+    align body; covariances are translation-invariant and pass through
+    outside this wrapper.
+    """
+    valid = target_mask.astype(target.dtype)
+    c = jnp.sum(target * valid[:, None], axis=0) / jnp.maximum(
+        jnp.sum(valid), 1.0
+    )
+    res = run(
+        source - c,
+        target - c,
+        se3.conjugate_to_centered(guess.astype(target.dtype), c),
+    )
+    A = se3.adjoint_translation(c)
+    return res._replace(
+        transformation=se3.conjugate_from_centered(res.transformation, c),
+        hessian=A.T @ res.hessian @ A,
+    )
 
 
 @dataclass

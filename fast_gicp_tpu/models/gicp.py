@@ -27,7 +27,8 @@ from ..ops import pallas_linearize, soa
 from ..ops.neighbors import nn_search
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
-from .base import Cloud, Registration, estimate_covariances
+from .base import (Cloud, Registration, centered_frame_align,
+                   estimate_covariances)
 
 
 class GICPConfig(NamedTuple):
@@ -208,35 +209,44 @@ def gicp_align(
 
     With config.refresh_iterations = R the solve is two-phase like
     `vgicp_align`: R re-searching LM iterations, then the matched target
-    rows are frozen at the phase-1 pose and the rest run search-free."""
-    x0 = guess.astype(source.dtype)
-    R = config.refresh_iterations
-    if not R or R >= config.lsq.max_iterations:
-        linearize, error = make_gicp_objective(
-            source, source_mask, source_covs, target, target_mask,
-            target_covs, config,
-        )
-        return lsq_solve(linearize, error, x0, config.lsq)
+    rows are frozen at the phase-1 pose and the rest run search-free.
 
-    linearize, error, freeze, lin_frozen = make_gicp_objective(
-        source, source_mask, source_covs, target, target_mask, target_covs,
-        config, with_freeze=True,
-    )
-    p1 = lsq_solve(linearize, error, x0, config.lsq._replace(max_iterations=R))
-    frozen = freeze(p1.transformation)
-    p2 = lsq_solve(
-        lambda x: lin_frozen(x, frozen),
-        error,
-        p1.transformation,
-        config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
-    )
-    return LsqResult(
-        transformation=p2.transformation,
-        hessian=p2.hessian,
-        error=p2.error,
-        converged=p2.converged,
-        iterations=p1.iterations + p2.iterations,
-    )
+    Runs in the target-centroid frame (see base.centered_frame_align);
+    the returned pose and Hessian are world-frame."""
+
+    def run(src_c, tgt_c, g):
+        x0 = g.astype(src_c.dtype)
+        R = config.refresh_iterations
+        if not R or R >= config.lsq.max_iterations:
+            linearize, error = make_gicp_objective(
+                src_c, source_mask, source_covs, tgt_c, target_mask,
+                target_covs, config,
+            )
+            return lsq_solve(linearize, error, x0, config.lsq)
+
+        linearize, error, freeze, lin_frozen = make_gicp_objective(
+            src_c, source_mask, source_covs, tgt_c, target_mask,
+            target_covs, config, with_freeze=True,
+        )
+        p1 = lsq_solve(
+            linearize, error, x0, config.lsq._replace(max_iterations=R)
+        )
+        frozen = freeze(p1.transformation)
+        p2 = lsq_solve(
+            lambda x: lin_frozen(x, frozen),
+            error,
+            p1.transformation,
+            config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
+        )
+        return LsqResult(
+            transformation=p2.transformation,
+            hessian=p2.hessian,
+            error=p2.error,
+            converged=p2.converged,
+            iterations=p1.iterations + p2.iterations,
+        )
+
+    return centered_frame_align(run, source, target, target_mask, guess)
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -33,7 +33,7 @@ from ..ops.voxelmap import (
 )
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
-from .base import Cloud, Registration
+from .base import Cloud, Registration, centered_frame_align
 
 _MIN_VOXEL_POINTS = 6  # voxels with <= 6 points are skipped
 
@@ -259,33 +259,40 @@ def ndt_align(
 
     With config.refresh_iterations = R the solve is two-phase like
     `vgicp_align`: R re-searching LM iterations, then the gathered voxel
-    rows are frozen at the phase-1 pose and the rest run gather-free."""
-    x0 = guess.astype(source.dtype)
-    R = config.refresh_iterations
-    if not R or R >= config.lsq.max_iterations:
-        lin, err = _ndt_objective_for(
-            source, source_mask, target, target_mask, config
-        )
-        return lsq_solve(lin, err, x0, config.lsq)
+    rows are frozen at the phase-1 pose and the rest run gather-free.
 
-    lin, err, freeze, lin_frozen = _ndt_objective_for(
-        source, source_mask, target, target_mask, config, with_freeze=True
-    )
-    p1 = lsq_solve(lin, err, x0, config.lsq._replace(max_iterations=R))
-    frozen = freeze(p1.transformation)
-    p2 = lsq_solve(
-        lambda x: lin_frozen(x, frozen),
-        err,
-        p1.transformation,
-        config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
-    )
-    return LsqResult(
-        transformation=p2.transformation,
-        hessian=p2.hessian,
-        error=p2.error,
-        converged=p2.converged,
-        iterations=p1.iterations + p2.iterations,
-    )
+    Runs in the target-centroid frame (see base.centered_frame_align);
+    the returned pose and Hessian are world-frame."""
+
+    def run(src_c, tgt_c, g):
+        x0 = g.astype(src_c.dtype)
+        R = config.refresh_iterations
+        if not R or R >= config.lsq.max_iterations:
+            lin, err = _ndt_objective_for(
+                src_c, source_mask, tgt_c, target_mask, config
+            )
+            return lsq_solve(lin, err, x0, config.lsq)
+
+        lin, err, freeze, lin_frozen = _ndt_objective_for(
+            src_c, source_mask, tgt_c, target_mask, config, with_freeze=True
+        )
+        p1 = lsq_solve(lin, err, x0, config.lsq._replace(max_iterations=R))
+        frozen = freeze(p1.transformation)
+        p2 = lsq_solve(
+            lambda x: lin_frozen(x, frozen),
+            err,
+            p1.transformation,
+            config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
+        )
+        return LsqResult(
+            transformation=p2.transformation,
+            hessian=p2.hessian,
+            error=p2.error,
+            converged=p2.converged,
+            iterations=p1.iterations + p2.iterations,
+        )
+
+    return centered_frame_align(run, source, target, target_mask, guess)
 
 
 def _compact_source_voxels(vm, max_voxels: int):

@@ -40,7 +40,8 @@ from ..ops.voxelmap import (
 )
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
-from .base import Cloud, Registration, estimate_covariances
+from .base import (Cloud, Registration, centered_frame_align,
+                   estimate_covariances)
 from .gicp import GICPConfig
 
 
@@ -304,42 +305,49 @@ def vgicp_align(
     iterations (per-iteration voxel re-search, fast_vgicp_impl.hpp:119-180),
     then the correspondence set is frozen at the phase-1 pose and the
     remaining iterations run against it gather-free (see
-    make_vgicp_objective's freeze contract)."""
-    vmap = _build_target_map(target, target_mask, target_covs, config)
-    offsets = jnp.asarray(
-        neighbor_offsets(
-            config.neighbor_search_method, config.neighbor_search_radius
-        )
-    )
-    x0 = guess.astype(source.dtype)
-    R = config.refresh_iterations
-    if not R or R >= config.lsq.max_iterations:
-        linearize, error = make_vgicp_objective(
-            source, source_mask, source_covs, vmap, offsets, config
-        )
-        return lsq_solve(linearize, error, x0, config.lsq)
+    make_vgicp_objective's freeze contract).
 
-    linearize, error, freeze, linearize_frozen = make_vgicp_objective(
-        source, source_mask, source_covs, vmap, offsets, config,
-        with_freeze=True,
-    )
-    p1 = lsq_solve(
-        linearize, error, x0, config.lsq._replace(max_iterations=R)
-    )
-    frozen = freeze(p1.transformation)
-    p2 = lsq_solve(
-        lambda x: linearize_frozen(x, frozen),
-        error,
-        p1.transformation,
-        config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
-    )
-    return LsqResult(
-        transformation=p2.transformation,
-        hessian=p2.hessian,
-        error=p2.error,
-        converged=p2.converged,
-        iterations=p1.iterations + p2.iterations,
-    )
+    Runs in the target-centroid frame (see base.centered_frame_align);
+    the returned pose and Hessian are world-frame."""
+
+    def run(src_c, tgt_c, g):
+        vmap = _build_target_map(tgt_c, target_mask, target_covs, config)
+        offsets = jnp.asarray(
+            neighbor_offsets(
+                config.neighbor_search_method, config.neighbor_search_radius
+            )
+        )
+        x0 = g.astype(src_c.dtype)
+        R = config.refresh_iterations
+        if not R or R >= config.lsq.max_iterations:
+            linearize, error = make_vgicp_objective(
+                src_c, source_mask, source_covs, vmap, offsets, config
+            )
+            return lsq_solve(linearize, error, x0, config.lsq)
+
+        linearize, error, freeze, linearize_frozen = make_vgicp_objective(
+            src_c, source_mask, source_covs, vmap, offsets, config,
+            with_freeze=True,
+        )
+        p1 = lsq_solve(
+            linearize, error, x0, config.lsq._replace(max_iterations=R)
+        )
+        frozen = freeze(p1.transformation)
+        p2 = lsq_solve(
+            lambda x: linearize_frozen(x, frozen),
+            error,
+            p1.transformation,
+            config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
+        )
+        return LsqResult(
+            transformation=p2.transformation,
+            hessian=p2.hessian,
+            error=p2.error,
+            converged=p2.converged,
+            iterations=p1.iterations + p2.iterations,
+        )
+
+    return centered_frame_align(run, source, target, target_mask, guess)
 
 
 def _build_target_map(target, target_mask, target_covs, config: VGICPConfig):

@@ -308,7 +308,17 @@ def rbf_covariance_cols(
             points, mask, kernel_width, max_dist
         )
     else:
-        m = _rbf_moments_T(points, mask, kernel_width, max_dist, chunk_size)
+        # Center before the fallback moment pass: the |q|^2-2qt distance
+        # form and the xx^T moments both lose all precision at
+        # survey-frame offsets (f32 eps x 1e8 at 1e4 m); the covariance
+        # finalize below is center-invariant.
+        mvalid = mask.astype(points.dtype)
+        center = jnp.sum(points * mvalid[:, None], axis=0) / jnp.maximum(
+            jnp.sum(mvalid), 1.0
+        )
+        m = _rbf_moments_T(
+            points - center, mask, kernel_width, max_dist, chunk_size
+        )
     inv_w = 1.0 / jnp.maximum(m[0], 1e-12)
     mean = [m[1] * inv_w, m[2] * inv_w, m[3] * inv_w]
     # sym-6 of the row-major 9: rows 4(xx) 5(xy) 6(xz) 8(yy) 9(yz) 12(zz);

@@ -31,6 +31,22 @@ def _masked_target(target, target_mask):
     return jnp.where(target_mask[:, None], target, MASK_COORD)
 
 
+def _center_clouds(query, target, target_mask):
+    """Shift both clouds by the target's valid-point mean.
+
+    The XLA fallback distance form |q|^2 - 2 q.t + |t|^2 loses ALL
+    precision at survey-frame coordinates (f32 eps x |p|^2 ~ 30 m^2 at
+    1e4 m offsets — every distance rounds to 0 and argmin returns
+    garbage); distances are translation-invariant, so centering restores
+    the Pallas kernels' exact-relative behavior.  Masked target points
+    stay parked at ~MASK_COORD (1e9 dwarfs any real offset)."""
+    valid = target_mask.astype(target.dtype)
+    c = jnp.sum(target * valid[:, None], axis=0) / jnp.maximum(
+        jnp.sum(valid), 1.0
+    )
+    return query - c, target - c
+
+
 def _pick_chunk(n, chunk_size):
     """Largest divisor of n that is <= chunk_size (gcd-based): buckets are
     2048-multiples so this normally returns chunk_size unchanged, but any
@@ -59,6 +75,7 @@ def nn_search(query, target, target_mask, chunk_size: int = 2048):
     if pallas_kernels.supported(nq, target.shape[0]):
         return pallas_kernels.nn_search_pallas(query, target, target_mask)
     chunk_size = _pick_chunk(nq, chunk_size)
+    query, target = _center_clouds(query, target, target_mask)
     tgt = _masked_target(target, target_mask)
     t_sq = jnp.sum(tgt * tgt, axis=-1)
 
@@ -98,6 +115,7 @@ def knn_search(
     """
     nq = query.shape[0]
     chunk_size = _pick_chunk(nq, chunk_size)
+    query, target = _center_clouds(query, target, target_mask)
     tgt = _masked_target(target, target_mask)
     t_sq = jnp.sum(tgt * tgt, axis=-1)
 
@@ -192,6 +210,7 @@ def knn_search_culled(
         raise ValueError(f"cloud sizes ({nq}, {nt}) not {tile}-multiples")
     Q, T = nq // tile, nt // tile
     C = min(cand_tiles, T)
+    query, target = _center_clouds(query, target, target_mask)
     tgt = _masked_target(target, target_mask)
     qt = query.reshape(Q, tile, 3)
     tt = tgt.reshape(T, tile, 3)

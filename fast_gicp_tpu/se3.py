@@ -268,3 +268,31 @@ def rotation_angle(R):
     """Angle (rad) of a rotation matrix, via trace."""
     cos = (jnp.trace(R, axis1=-2, axis2=-1) - 1.0) * 0.5
     return jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+
+
+def conjugate_to_centered(x, c):
+    """X' = T(-c) X T(c): the pose of clouds shifted by -c (both source
+    and target), given the world pose X.  R' = R, t' = t - c + R c."""
+    R = x[..., :3, :3]
+    t = x[..., :3, 3]
+    t_c = t - c + jnp.einsum("...ij,j->...i", R, c)
+    return x.at[..., :3, 3].set(t_c)
+
+
+def conjugate_from_centered(x_c, c):
+    """Inverse of `conjugate_to_centered`: X = T(c) X' T(-c).
+    R = R', t = t' + c - R' c."""
+    R = x_c[..., :3, :3]
+    t = x_c[..., :3, 3]
+    t_w = t + c - jnp.einsum("...ij,j->...i", R, c)
+    return x_c.at[..., :3, 3].set(t_w)
+
+
+def adjoint_translation(c):
+    """A (6x6): world rotation-first twist (omega, rho) -> the twist of
+    the same increment expressed about clouds shifted by -c:
+    exp(A xi) = T(-c) exp(xi) T(c)  =>  omega' = omega,
+    rho' = rho - c x omega.  Used to report centered-frame normal
+    equations in the world frame: H_world = A^T H' A, b_world = A^T b'."""
+    A = jnp.eye(6, dtype=c.dtype)
+    return A.at[3:6, 0:3].set(-skew(c))

@@ -141,7 +141,14 @@ def lsq_solve(
                     dn=jnp.linalg.norm(d),
                 )
 
-            reject = rho < 0.0
+            # NaN-safe accept: a degenerate objective (rank-deficient
+            # covariances, zero valid correspondences, f32 blow-ups) can
+            # make yi/rho NaN; `rho < 0` is False for NaN, which would
+            # ACCEPT the poisoned pose.  Accept only a provably-improving
+            # finite trial; everything else is a rejection (the pose
+            # stays at the last finite iterate and the align reports
+            # converged=False via the lm-not-converged path).
+            reject = ~(rho >= 0.0)  # == (rho < 0) for finite rho
             conv_reject = reject & converged_fn(delta)
             accept = ~reject
 
