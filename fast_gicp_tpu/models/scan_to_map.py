@@ -20,6 +20,16 @@ Everything is fixed-shape and jittable:
 Multi-host design (round 2+): shard `MapState` rows by coord-block hash
 across devices, lookup via all_gather of the query block's shard, psum the
 normal equations — per-iteration traffic stays (6x6 + 6 + 1) floats.
+
+Numerical envelope: the per-frame align linearizes in the WORLD frame, so
+the normal equations carry |p_world|^2-scale rotation blocks.  Bounded
+drives (the 512-frame/~500 m benchmark) are comfortably inside f32; past
+~5-10 km from the map origin the same lever-arm accumulation that
+motivated `base.centered_frame_align` for the pair aligns starts eroding
+the rotation/translation cross blocks.  The pair aligns re-center per
+call; the persistent map cannot (voxel keys are world-anchored), so the
+long-horizon fix is periodic MAP RE-ANCHORING — shift map + poses by a
+resolution multiple every few km — tracked for a future round.
 """
 
 from __future__ import annotations
