@@ -27,6 +27,7 @@ try:  # JAX >= 0.4.35 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+from ..models.base import centered_frame_align
 from ..models.gicp import GICPConfig, make_gicp_objective
 from ..models.ndt import NDTConfig, _ndt_voxelmap, make_ndt_objective
 from ..models.vgicp import VGICPConfig, make_vgicp_objective
@@ -79,10 +80,16 @@ def gicp_align_sharded(
         )
         return lsq_solve(lin, err, g, config.lsq)
 
-    return run(
-        source, source_mask, source_covs, target, target_mask, target_covs,
-        guess.astype(source.dtype),
-    )
+    def body(src_c, tgt_c, g):
+        return run(
+            src_c, source_mask, source_covs, tgt_c, target_mask,
+            target_covs, g,
+        )
+
+    # same target-centroid frame as the single-device align (see
+    # base.centered_frame_align) so sharded and single solves agree
+    return centered_frame_align(body, source, target, target_mask,
+                                guess.astype(source.dtype))
 
 
 @partial(jax.jit, static_argnames=("mesh", "config"))
@@ -106,35 +113,38 @@ def vgicp_align_sharded(
     """
     axis = mesh.axis_names[0]
     _check_divisible(source.shape[0], mesh, axis)
-    vmap = build_voxelmap(
-        target,
-        target_mask,
-        config.resolution,
-        covs=target_covs,
-        mode=config.voxel_accumulation,
-        grid_dims=config.grid_dims,
-    )
     offsets = jnp.asarray(
         neighbor_offsets(config.neighbor_search_method, config.neighbor_search_radius)
     )
-    vm_specs = jax.tree.map(lambda _: P(), vmap)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), vm_specs, P(), P()),
-        out_specs=P(),
-    )
-    def run(src, smask, scovs, vm, offs, g):
-        lin, err = make_vgicp_objective(
-            src, smask, scovs, vm, offs, config, axis_name=axis
+    def body(src_c, tgt_c, g):
+        vmap = build_voxelmap(
+            tgt_c,
+            target_mask,
+            config.resolution,
+            covs=target_covs,
+            mode=config.voxel_accumulation,
+            grid_dims=config.grid_dims,
         )
-        return lsq_solve(lin, err, g, config.lsq)
+        vm_specs = jax.tree.map(lambda _: P(), vmap)
 
-    return run(
-        source, source_mask, source_covs, vmap, offsets,
-        guess.astype(source.dtype),
-    )
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), vm_specs, P(), P()),
+            out_specs=P(),
+        )
+        def run(src, smask, scovs, vm, offs, g_):
+            lin, err = make_vgicp_objective(
+                src, smask, scovs, vm, offs, config, axis_name=axis
+            )
+            return lsq_solve(lin, err, g_, config.lsq)
+
+        return run(src_c, source_mask, source_covs, vmap, offsets, g)
+
+    # same target-centroid frame as the single-device align
+    return centered_frame_align(body, source, target, target_mask,
+                                guess.astype(source.dtype))
 
 
 @partial(jax.jit, static_argnames=("mesh", "config"))
@@ -151,48 +161,55 @@ def ndt_align_sharded(
     """NDT align (P2D: raw source points sharded; D2D: source voxels
     sharded), target voxel map replicated."""
     axis = mesh.axis_names[0]
-    target_vm = _ndt_voxelmap(
-        target, target_mask, config.resolution, grid_dims=config.grid_dims
-    )
     offsets = jnp.asarray(
         neighbor_offsets(config.neighbor_search_method, config.neighbor_search_radius)
     )
-    if config.distance_mode == "p2d":
-        src_means, src_mask, src_covs = source, source_mask, None
-    else:
-        from ..models.ndt import _compact_source_voxels
+    p2d = config.distance_mode == "p2d"
 
-        source_vm = _ndt_voxelmap(
-            source, source_mask, config.resolution, grid_dims=config.grid_dims
+    def body(src_c, tgt_c, g):
+        target_vm = _ndt_voxelmap(
+            tgt_c, target_mask, config.resolution, grid_dims=config.grid_dims
         )
-        src_means, src_mask, src_covs = _compact_source_voxels(
-            source_vm, config.max_source_voxels
+        if p2d:
+            src_means, src_mask, src_covs = src_c, source_mask, None
+        else:
+            from ..models.ndt import _compact_source_voxels
+
+            source_vm = _ndt_voxelmap(
+                src_c, source_mask, config.resolution,
+                grid_dims=config.grid_dims,
+            )
+            src_means, src_mask, src_covs = _compact_source_voxels(
+                source_vm, config.max_source_voxels
+            )
+        _check_divisible(src_means.shape[0], mesh, axis)
+
+        vm_specs = jax.tree.map(lambda _: P(), target_vm)
+        cov_spec = P() if src_covs is None else P(axis)
+        src_covs_in = (
+            jnp.zeros((1,), src_means.dtype) if src_covs is None else src_covs
         )
-    _check_divisible(src_means.shape[0], mesh, axis)
 
-    vm_specs = jax.tree.map(lambda _: P(), target_vm)
-    cov_spec = P() if src_covs is None else P(axis)
-    src_covs_in = (
-        jnp.zeros((1,), src_means.dtype) if src_covs is None else src_covs
-    )
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), cov_spec, vm_specs, P(), P()),
-        out_specs=P(),
-    )
-    def run(sm, smask, scovs, vm, offs, g):
-        lin, err = make_ndt_objective(
-            sm,
-            smask,
-            None if src_covs is None else scovs,
-            vm,
-            offs,
-            config,
-            axis_name=axis,
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), cov_spec, vm_specs, P(), P()),
+            out_specs=P(),
         )
-        return lsq_solve(lin, err, g, config.lsq)
+        def run(sm, smask, scovs, vm, offs, g_):
+            lin, err = make_ndt_objective(
+                sm,
+                smask,
+                None if src_covs is None else scovs,
+                vm,
+                offs,
+                config,
+                axis_name=axis,
+            )
+            return lsq_solve(lin, err, g_, config.lsq)
 
-    return run(src_means, src_mask, src_covs_in, target_vm, offsets,
-               guess.astype(src_means.dtype))
+        return run(src_means, src_mask, src_covs_in, target_vm, offsets, g)
+
+    # same target-centroid frame as the single-device align
+    return centered_frame_align(body, source, target, target_mask,
+                                guess.astype(source.dtype))
