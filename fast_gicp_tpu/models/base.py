@@ -62,6 +62,26 @@ def centered_frame_align(run, source, target, target_mask, guess):
     )
 
 
+def centered_frame_evaluate(run, source, target, target_mask, pose):
+    """`centered_frame_align`'s twin for the evaluate_cost surface:
+    `run(source_c, target_c, pose_c) -> (err, H', b')` evaluates the
+    objective in the target-centroid frame; the returned (err, H, b) are
+    world-frame (err is frame-invariant; H/b return through the
+    translation adjoint), consistent with the aligns' reported Hessian.
+    """
+    valid = target_mask.astype(target.dtype)
+    c = jnp.sum(target * valid[:, None], axis=0) / jnp.maximum(
+        jnp.sum(valid), 1.0
+    )
+    err, H, b = run(
+        source - c,
+        target - c,
+        se3.conjugate_to_centered(pose.astype(target.dtype), c),
+    )
+    A = se3.adjoint_translation(c)
+    return err, A.T @ H @ A, A.T @ b
+
+
 @dataclass
 class Cloud:
     """Padded device-side cloud + lazily computed per-point covariances.

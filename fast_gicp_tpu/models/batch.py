@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..precision import f32_matmuls
+from .base import centered_frame_align
 from .gicp import GICPConfig, make_gicp_objective
 from .ndt import NDTConfig, _ndt_voxelmap, make_ndt_objective
 from .vgicp import VGICPConfig, make_vgicp_objective
@@ -35,8 +36,14 @@ def gicp_align_batch(
     LsqResult."""
 
     def one(sp, sm, sc, tp, tm, tc, g):
-        lin, err = make_gicp_objective(sp, sm, sc, tp, tm, tc, config)
-        return lsq_solve(lin, err, g, config.lsq)
+        def run(sp_c, tp_c, g_c):
+            lin, err = make_gicp_objective(
+                sp_c, sm, sc, tp_c, tm, tc, config
+            )
+            return lsq_solve(lin, err, g_c, config.lsq)
+
+        # same target-centroid frame as the single align (per pair)
+        return centered_frame_align(run, sp, tp, tm, g)
 
     return jax.vmap(one)(
         sources, source_masks, source_covs, targets, target_masks, target_covs,
@@ -56,12 +63,17 @@ def vgicp_align_batch(
     )
 
     def one(sp, sm, sc, tp, tm, tc, g):
-        vmap_ = build_voxelmap(
-            tp, tm, config.resolution, covs=tc,
-            mode=config.voxel_accumulation, grid_dims=config.grid_dims,
-        )
-        lin, err = make_vgicp_objective(sp, sm, sc, vmap_, offsets, config)
-        return lsq_solve(lin, err, g, config.lsq)
+        def run(sp_c, tp_c, g_c):
+            vmap_ = build_voxelmap(
+                tp_c, tm, config.resolution, covs=tc,
+                mode=config.voxel_accumulation, grid_dims=config.grid_dims,
+            )
+            lin, err = make_vgicp_objective(
+                sp_c, sm, sc, vmap_, offsets, config
+            )
+            return lsq_solve(lin, err, g_c, config.lsq)
+
+        return centered_frame_align(run, sp, tp, tm, g)
 
     return jax.vmap(one)(
         sources, source_masks, source_covs, targets, target_masks, target_covs,
@@ -81,24 +93,29 @@ def ndt_align_batch(
     )
 
     def one(sp, sm, tp, tm, g):
-        target_vm = _ndt_voxelmap(
-            tp, tm, config.resolution, grid_dims=config.grid_dims
-        )
-        if config.distance_mode == "p2d":
-            lin, err = make_ndt_objective(sp, sm, None, target_vm, offsets, config)
-        else:
-            from .ndt import _compact_source_voxels
+        def run(sp_c, tp_c, g_c):
+            target_vm = _ndt_voxelmap(
+                tp_c, tm, config.resolution, grid_dims=config.grid_dims
+            )
+            if config.distance_mode == "p2d":
+                lin, err = make_ndt_objective(
+                    sp_c, sm, None, target_vm, offsets, config
+                )
+            else:
+                from .ndt import _compact_source_voxels
 
-            source_vm = _ndt_voxelmap(
-                sp, sm, config.resolution, grid_dims=config.grid_dims
-            )
-            means, mask, covs = _compact_source_voxels(
-                source_vm, config.max_source_voxels
-            )
-            lin, err = make_ndt_objective(
-                means, mask, covs, target_vm, offsets, config,
-            )
-        return lsq_solve(lin, err, g, config.lsq)
+                source_vm = _ndt_voxelmap(
+                    sp_c, sm, config.resolution, grid_dims=config.grid_dims
+                )
+                means, mask, covs = _compact_source_voxels(
+                    source_vm, config.max_source_voxels
+                )
+                lin, err = make_ndt_objective(
+                    means, mask, covs, target_vm, offsets, config,
+                )
+            return lsq_solve(lin, err, g_c, config.lsq)
+
+        return centered_frame_align(run, sp, tp, tm, g)
 
     return jax.vmap(one)(
         sources, source_masks, targets, target_masks,

@@ -28,7 +28,7 @@ from ..ops.neighbors import nn_search
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
 from .base import (Cloud, Registration, centered_frame_align,
-                   estimate_covariances)
+                   centered_frame_evaluate, estimate_covariances)
 
 
 class GICPConfig(NamedTuple):
@@ -257,12 +257,19 @@ def gicp_evaluate(
 ):
     """(error, H, b) of the GICP objective at an arbitrary pose — the
     functional form of the reference's evaluateCost
-    (lsq_registration_impl.hpp:48-50)."""
-    linearize, _ = make_gicp_objective(
-        source, source_mask, source_covs, target, target_mask, target_covs, config
-    )
-    err, H, b, _aux = linearize(pose.astype(source.dtype))
-    return err, H, b
+    (lsq_registration_impl.hpp:48-50).  Evaluated in the target-centroid
+    frame and reported world-frame, consistent with gicp_align's
+    Hessian (see base.centered_frame_evaluate)."""
+
+    def run(src_c, tgt_c, p):
+        linearize, _ = make_gicp_objective(
+            src_c, source_mask, source_covs, tgt_c, target_mask,
+            target_covs, config,
+        )
+        err, H, b, _aux = linearize(p)
+        return err, H, b
+
+    return centered_frame_evaluate(run, source, target, target_mask, pose)
 
 
 @dataclass

@@ -25,6 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .. import se3
 from ..ops import pallas_linearize, soa
 from ..ops.voxelmap import (
     build_voxelmap,
@@ -33,7 +34,8 @@ from ..ops.voxelmap import (
 )
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
-from .base import Cloud, Registration, centered_frame_align
+from .base import (Cloud, Registration, centered_frame_align,
+                   centered_frame_evaluate)
 
 _MIN_VOXEL_POINTS = 6  # voxels with <= 6 points are skipped
 
@@ -367,19 +369,26 @@ def _ndt_objective_prebuilt(
 
 @partial(jax.jit, static_argnames=("config",))
 def ndt_prepare_cloud(points, mask, config: NDTConfig):
-    """Per-cloud NDT state: (voxel map, compacted source stats) — built
-    once per cloud and cached by the class API (the reference builds
-    voxelmaps at set_input_* time and swaps them, ndt_cuda.cu:70-93).
-    The compact stats exist only for D2D (P2D never consumes them;
-    config is static, so the nonzero compaction traces away entirely)."""
+    """Per-cloud NDT state: (voxel map, compacted source stats, centroid)
+    — built once per cloud and cached by the class API (the reference
+    builds voxelmaps at set_input_* time and swaps them,
+    ndt_cuda.cu:70-93).  The map and stats are built in the CLOUD's
+    centroid frame (survey-frame robustness, see
+    base.centered_frame_align); `ndt_align_prebuilt` shifts frames at
+    align time.  The compact stats exist only for D2D (P2D never
+    consumes them; config is static, so the compaction traces away)."""
+    valid = mask.astype(points.dtype)
+    c = jnp.sum(points * valid[:, None], axis=0) / jnp.maximum(
+        jnp.sum(valid), 1.0
+    )
     vm = _ndt_voxelmap(
-        points, mask, config.resolution, grid_dims=config.grid_dims
+        points - c, mask, config.resolution, grid_dims=config.grid_dims
     )
     compact = (
         _compact_source_voxels(vm, config.max_source_voxels)
         if config.distance_mode == "d2d" else None
     )
-    return vm, compact
+    return vm, compact, c
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -388,37 +397,60 @@ def ndt_align_prebuilt(
     source,
     source_mask,
     source_compact,
+    src_center,
     target_vm,
+    tgt_center,
     guess,
     config: NDTConfig = NDTConfig(),
 ) -> LsqResult:
     """NDT align against prebuilt per-cloud state (see ndt_prepare_cloud);
-    same two-phase refresh semantics as `ndt_align`."""
-    x0 = guess.astype(source.dtype)
-    sc = source_compact if config.distance_mode == "d2d" else None
+    same two-phase refresh semantics as `ndt_align`.
+
+    The solve runs in the TARGET-centroid frame (the target map is
+    already built there); D2D source voxel means shift by
+    (src_center - tgt_center), P2D raw points by -tgt_center, and the
+    pose/Hessian conjugate back to world like base.centered_frame_align.
+    """
+    x0 = se3.conjugate_to_centered(guess.astype(source.dtype), tgt_center)
+    src_c = source - tgt_center
+    if config.distance_mode == "d2d":
+        means, mask_c, covs = source_compact
+        sc = (means + (src_center - tgt_center), mask_c, covs)
+    else:
+        sc = None
     R = config.refresh_iterations
     if not R or R >= config.lsq.max_iterations:
         lin, err = _ndt_objective_prebuilt(
-            source, source_mask, sc, target_vm, config
+            src_c, source_mask, sc, target_vm, config
         )
-        return lsq_solve(lin, err, x0, config.lsq)
-    lin, err, freeze, lin_frozen = _ndt_objective_prebuilt(
-        source, source_mask, sc, target_vm, config, with_freeze=True
-    )
-    p1 = lsq_solve(lin, err, x0, config.lsq._replace(max_iterations=R))
-    frozen = freeze(p1.transformation)
-    p2 = lsq_solve(
-        lambda x: lin_frozen(x, frozen),
-        err,
-        p1.transformation,
-        config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
-    )
-    return LsqResult(
-        transformation=p2.transformation,
-        hessian=p2.hessian,
-        error=p2.error,
-        converged=p2.converged,
-        iterations=p1.iterations + p2.iterations,
+        res = lsq_solve(lin, err, x0, config.lsq)
+    else:
+        lin, err, freeze, lin_frozen = _ndt_objective_prebuilt(
+            src_c, source_mask, sc, target_vm, config, with_freeze=True
+        )
+        p1 = lsq_solve(lin, err, x0, config.lsq._replace(max_iterations=R))
+        frozen = freeze(p1.transformation)
+        p2 = lsq_solve(
+            lambda x: lin_frozen(x, frozen),
+            err,
+            p1.transformation,
+            config.lsq._replace(
+                max_iterations=config.lsq.max_iterations - R
+            ),
+        )
+        res = LsqResult(
+            transformation=p2.transformation,
+            hessian=p2.hessian,
+            error=p2.error,
+            converged=p2.converged,
+            iterations=p1.iterations + p2.iterations,
+        )
+    A = se3.adjoint_translation(tgt_center)
+    return res._replace(
+        transformation=se3.conjugate_from_centered(
+            res.transformation, tgt_center
+        ),
+        hessian=A.T @ res.hessian @ A,
     )
 
 
@@ -428,12 +460,18 @@ def ndt_evaluate(
     source, source_mask, target, target_mask, pose,
     config: NDTConfig = NDTConfig(),
 ):
-    """(error, H, b) of the NDT objective at an arbitrary pose."""
-    linearize, _ = _ndt_objective_for(
-        source, source_mask, target, target_mask, config
-    )
-    err, H, b, _aux = linearize(pose.astype(source.dtype))
-    return err, H, b
+    """(error, H, b) of the NDT objective at an arbitrary pose.
+    Evaluated in the target-centroid frame and reported world-frame
+    (see base.centered_frame_evaluate)."""
+
+    def run(src_c, tgt_c, p):
+        linearize, _ = _ndt_objective_for(
+            src_c, source_mask, tgt_c, target_mask, config
+        )
+        err, H, b, _aux = linearize(p)
+        return err, H, b
+
+    return centered_frame_evaluate(run, source, target, target_mask, pose)
 
 
 @dataclass
@@ -499,22 +537,29 @@ class NDTCuda(Registration):
         key = (config.resolution, config.grid_dims,
                config.max_source_voxels, config.distance_mode)
         if cloud.ndt_cache is None or cloud.ndt_cache[0] != key:
-            vm, compact = ndt_prepare_cloud(cloud.points, cloud.mask, config)
-            cloud.ndt_cache = (key, vm, compact)
-        return cloud.ndt_cache[1], cloud.ndt_cache[2]
+            vm, compact, center = ndt_prepare_cloud(
+                cloud.points, cloud.mask, config
+            )
+            cloud.ndt_cache = (key, vm, compact, center)
+        return cloud.ndt_cache[1], cloud.ndt_cache[2], cloud.ndt_cache[3]
 
     def _compute(self, source: Cloud, target: Cloud, guess):
         config = self._config(grid_dims=self._grid_dims(source, target))
-        target_vm, _ = self._ensure_prepared(target, config)
-        source_compact = (
-            self._ensure_prepared(source, config)[1]
-            if self.distance_mode == "d2d" else None
-        )
+        target_vm, _, tgt_center = self._ensure_prepared(target, config)
+        if self.distance_mode == "d2d":
+            _, source_compact, src_center = self._ensure_prepared(
+                source, config
+            )
+        else:
+            source_compact = None
+            src_center = tgt_center  # unused for p2d
         return ndt_align_prebuilt(
             source.points,
             source.mask,
             source_compact,
+            src_center,
             target_vm,
+            tgt_center,
             guess,
             config,
         )

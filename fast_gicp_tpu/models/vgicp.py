@@ -41,7 +41,7 @@ from ..ops.voxelmap import (
 from ..precision import f32_matmuls
 from ..solver import LsqConfig, LsqResult, lsq_solve
 from .base import (Cloud, Registration, centered_frame_align,
-                   estimate_covariances)
+                   centered_frame_evaluate, estimate_covariances)
 from .gicp import GICPConfig
 
 
@@ -424,18 +424,23 @@ def vgicp_evaluate(
 ):
     """(error, H, b) of the VGICP objective at an arbitrary pose — the
     functional form of the reference's evaluateCost
-    (lsq_registration_impl.hpp:48-50)."""
-    vmap = _build_target_map(target, target_mask, target_covs, config)
-    offsets = jnp.asarray(
-        neighbor_offsets(
-            config.neighbor_search_method, config.neighbor_search_radius
+    (lsq_registration_impl.hpp:48-50).  Evaluated in the target-centroid
+    frame and reported world-frame (see base.centered_frame_evaluate)."""
+
+    def run(src_c, tgt_c, p):
+        vmap = _build_target_map(tgt_c, target_mask, target_covs, config)
+        offsets = jnp.asarray(
+            neighbor_offsets(
+                config.neighbor_search_method, config.neighbor_search_radius
+            )
         )
-    )
-    linearize, _ = make_vgicp_objective(
-        source, source_mask, source_covs, vmap, offsets, config
-    )
-    err, H, b, _aux = linearize(pose.astype(source.dtype))
-    return err, H, b
+        linearize, _ = make_vgicp_objective(
+            src_c, source_mask, source_covs, vmap, offsets, config
+        )
+        err, H, b, _aux = linearize(p)
+        return err, H, b
+
+    return centered_frame_evaluate(run, source, target, target_mask, pose)
 
 
 @partial(jax.jit, static_argnames=("config", "kernel_width", "kernel_max_dist"))

@@ -444,7 +444,16 @@ def rbf_covariances(
             points, mask, kernel_width, max_dist, method, chunk_size
         )
         return soa.sym_cols_to_rows9(cols).reshape(n, 3, 3)
-    m = _rbf_moments_T(points, mask, kernel_width, max_dist, chunk_size)
+    # Cold regularization modes: center before the moment pass (the
+    # E[xx^T] - mu mu^T finalize cancels catastrophically at survey-frame
+    # offsets; covariances are translation-invariant).
+    mvalid = mask.astype(points.dtype)
+    center = jnp.sum(points * mvalid[:, None], axis=0) / jnp.maximum(
+        jnp.sum(mvalid), 1.0
+    )
+    m = _rbf_moments_T(
+        points - center, mask, kernel_width, max_dist, chunk_size
+    )
     moments = m.T  # (N, 13)
     sum_w = jnp.maximum(moments[:, 0:1], 1e-12)
     sum_wx = moments[:, 1:4]

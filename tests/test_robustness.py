@@ -162,3 +162,61 @@ def test_huge_coordinates():
         before = _residual(np.eye(4), src, pts)
         after = _residual(est, src, pts)
         assert after < 0.3 * before, (make.__name__, after, before)
+
+
+def test_ndt_class_survey_frame_matches_origin():
+    """The NDT class API (prebuilt per-cloud maps) must register
+    survey-frame clouds exactly as well as origin-frame ones — the
+    per-cloud-centroid map builds + target-frame conjugation
+    (ndt_prepare_cloud / ndt_align_prebuilt) carry the centered-frame
+    fix to the cached-map path."""
+    rng = np.random.default_rng(7)
+    g = np.stack(
+        np.meshgrid(np.linspace(0, 15, 40), np.linspace(0, 15, 40)), -1
+    ).reshape(-1, 2).astype(np.float32)
+    pts = np.concatenate([
+        np.concatenate([g, np.abs(np.sin(g[:, :1]))], 1),
+        np.concatenate(
+            [g[:, :1], np.full((len(g), 1), 2.0, np.float32), g[:, 1:]], 1
+        ),
+    ]).astype(np.float32)
+    pts += rng.normal(size=pts.shape).astype(np.float32) * 0.03
+    results = {}
+    for name, off in (("origin", np.float32([0, 0, 0])),
+                      ("survey", np.float32([1e4, -2e4, 300.0]))):
+        src = pts + off + np.float32([0.2, 0.1, -0.1])
+        tgt = pts + off
+        reg = NDTCuda()
+        reg.set_input_target(tgt)
+        reg.set_input_source(src)
+        est = np.asarray(reg.align(), np.float64)
+        _finite_pose(est)
+        results[name] = _residual(est, src, tgt)
+    # survey-frame registration quality within 10% of origin-frame
+    assert results["survey"] < results["origin"] * 1.1 + 1e-3, results
+
+
+def test_evaluate_matches_align_hessian():
+    """evaluate_cost's (err, H, b) and the align's reported Hessian are
+    both world-frame (centered internally, adjoint back): evaluating at
+    the align's solution must reproduce its Hessian."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.gicp import GICPConfig, gicp_align, gicp_evaluate
+    from fast_gicp_tpu.ops.covariance import knn_covariances
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    rng = np.random.default_rng(8)
+    base = (rng.uniform(size=(2000, 3)) * 20).astype(np.float32)
+    base += np.float32([100.0, -50.0, 10.0])
+    sp, sm = map(jnp.asarray, pad_points(base + np.float32([0.1, 0.05, -0.02])))
+    tp, tm = map(jnp.asarray, pad_points(base))
+    sc = knn_covariances(sp, sm)
+    tc = knn_covariances(tp, tm)
+    cfg = GICPConfig()
+    res = gicp_align(sp, sm, sc, tp, tm, tc, jnp.eye(4, dtype=jnp.float32), cfg)
+    _e, H, _b = gicp_evaluate(sp, sm, sc, tp, tm, tc, res.transformation, cfg)
+    rel = np.abs(np.asarray(H) - np.asarray(res.hessian)) / (
+        np.abs(np.asarray(res.hessian)) + 1.0
+    )
+    assert rel.max() < 0.01, rel.max()
