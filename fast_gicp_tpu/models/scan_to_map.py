@@ -28,8 +28,10 @@ drives (the 512-frame/~500 m benchmark) are comfortably inside f32; past
 motivated `base.centered_frame_align` for the pair aligns starts eroding
 the rotation/translation cross blocks.  The pair aligns re-center per
 call; the persistent map cannot (voxel keys are world-anchored), so the
-long-horizon fix is periodic MAP RE-ANCHORING — shift map + poses by a
-resolution multiple every few km — tracked for a future round.
+long-horizon fix is periodic MAP RE-ANCHORING: `re_anchor_map` /
+`ScanToMapOdometry.re_anchor()` shifts map + pose chain to the vehicle
+by a resolution multiple (exact integer-cell coord shift + lut rebuild)
+— call it every few km of drive.
 """
 
 from __future__ import annotations
@@ -303,6 +305,58 @@ def compact_map(state: MapState, center, radius) -> MapState:
     """Jitted, state-donating view of `_compact_map_impl` (the sharded map
     calls the impl inside its own shard_map instead)."""
     return _compact_map_impl(state, center, radius)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+@f32_matmuls
+def re_anchor_map(state: MapState, shift_cells) -> MapState:
+    """Shift the map's frame by -shift_cells * resolution (long-drive
+    re-anchoring).
+
+    The per-frame align linearizes about the map frame's origin, so the
+    normal equations carry |p|^2-scale rotation blocks; kilometres from
+    the origin that f32 accumulation erodes the small-signal translation
+    terms (the failure `base.centered_frame_align` fixes for pair
+    aligns).  Re-anchoring moves the origin to the vehicle: voxel coords
+    shift by the integer cell count (exact — `floor(x/res - 0.5)`
+    commutes with integer-cell translations), the mean sums shift by
+    -count * t, covariance sums are translation-invariant, and the lut
+    rebuilds (coord hashes changed) with the same claiming rounds as the
+    static builder.  One fixed-shape dispatch; `shift_cells` is a (3,)
+    int32 device value."""
+    from ..ops.voxelmap import _build_table
+
+    capacity = state.sums.shape[0]
+    table_size = state.lut.shape[0]
+    vid = jnp.arange(capacity, dtype=jnp.int32)
+    live = vid < state.num_voxels
+    k = jnp.asarray(shift_cells, jnp.int32)
+    t = k.astype(jnp.float32) * state.resolution
+    coords = jnp.where(live[:, None], state.coords - k[None], state.coords)
+    shifted = jnp.concatenate(
+        [
+            state.sums[:, 0:1],
+            state.sums[:, 1:4] - state.sums[:, 0:1] * t[None],
+            state.sums[:, 4:13],
+        ],
+        axis=1,
+    )
+    sums = jnp.where(live[:, None], shifted, state.sums)
+    table = _build_table(
+        coords, state.num_voxels, capacity, table_size, MAX_PROBE
+    )
+    safe_t = jnp.maximum(table, 0) * (table != _EMPTY)
+    lut_coords = jnp.where(
+        (table != _EMPTY)[:, None], coords[safe_t], _COORD_SENTINEL
+    )
+    lut = jnp.concatenate([table[:, None], lut_coords], axis=1)
+    return MapState(
+        sums=sums,
+        coords=coords,
+        lut=lut,
+        num_voxels=state.num_voxels,
+        resolution=state.resolution,
+    )
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("new_cap",))
@@ -891,6 +945,35 @@ class ScanToMapOdometry:
 
     def _compact(self, center, radius) -> None:
         self.state = compact_map(self.state, center, radius)
+
+    def re_anchor(self):
+        """Move the map frame to the current pose (long-drive numerics).
+
+        Kilometres from the map origin, the per-frame align's f32 normal
+        equations erode (see `re_anchor_map`); calling this every few km
+        keeps lever arms bounded by the local scene.  The map, the
+        stored pose chain, and the current pose all shift together, so
+        the trajectory stays self-consistent in the NEW frame; the
+        applied world shift (float64 (3,), a resolution multiple) is
+        returned for callers that accumulate a global offset.  One map
+        dispatch plus one small op per stored pose; synchronizes once to
+        read the current pose."""
+        import numpy as np
+
+        if not self._poses_dev:
+            return np.zeros(3)
+        res = float(jax.device_get(self.state.resolution))
+        t = np.asarray(jax.device_get(self._poses_dev[-1]))[:3, 3]
+        k = np.round(t / res).astype(np.int32)
+        if not k.any():
+            return np.zeros(3)
+        shift = k.astype(np.float64) * res
+        self.state = re_anchor_map(self.state, jnp.asarray(k))
+        sh = jnp.asarray(shift, jnp.float32)
+        self._poses_dev = [
+            p.at[:3, 3].add(-sh) for p in self._poses_dev
+        ]
+        return shift
 
     def _covs(self, points, mask):
         from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit

@@ -758,6 +758,18 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
             return sharded_rbf_covariances(self.mesh, points, mask)
         return super()._covs(points, mask)
 
+    def re_anchor(self):
+        """Not supported on the sharded map: voxel ownership is
+        hash-of-coords, so a frame shift reassigns voxels across shards
+        (an all_to_all redistribution).  Re-anchor offline instead:
+        `save_sharded_map` -> `re_anchor_map` on the merged state ->
+        `distribute_map` (the merged checkpoint is a single-device
+        MapState)."""
+        raise NotImplementedError(
+            "sharded map re-anchoring requires cross-shard redistribution;"
+            " re-anchor via save_sharded_map/re_anchor_map/distribute_map"
+        )
+
     def __init__(
         self,
         config: ScanToMapConfig = ScanToMapConfig(),

@@ -869,3 +869,42 @@ def test_merge_maps_resolution_mismatch_raises():
 
     with pytest.raises(ValueError):
         merge_maps(empty_map(64, 1.0), empty_map(64, 0.5))
+
+
+def test_re_anchor_long_drive():
+    """Map re-anchoring: odometry anchored kilometres from the origin,
+    re-anchored mid-drive — the map frame, stored poses, and subsequent
+    alignment all stay consistent (trajectory shifted back by the
+    returned offset matches the ground truth like a near-origin run)."""
+    import numpy as np
+
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry,
+    )
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from fast_gicp_tpu.utils.kitti import ate_rmse
+    from tests.test_odometry import _trajectory_scans
+
+    scans, gt = _trajectory_scans(np.random.default_rng(9), n_frames=8)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    anchor = np.float64([3000.0, -2000.0, 50.0])
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, 3] = anchor
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+    odo = ScanToMapOdometry(cfg, covariance="knn", initial_pose=T0)
+    total_shift = np.zeros(3)
+    for i, s in enumerate(scans):
+        odo.process(s)
+        if i == 3:  # mid-drive re-anchor
+            nv_before = int(np.asarray(odo.state.num_voxels))
+            shift = odo.re_anchor()
+            assert np.linalg.norm(shift - anchor) < 2.0  # ~the anchor
+            # nothing evicted
+            assert int(np.asarray(odo.state.num_voxels)) == nv_before
+            total_shift += shift
+    # world trajectory = stored poses + accumulated shift; compare to gt
+    # anchored at T0 (gt starts at I; our run starts at T0)
+    poses = [p.copy() for p in odo.poses]
+    for p in poses:
+        p[:3, 3] += total_shift - anchor
+    assert ate_rmse(gt, poses) < 0.05
