@@ -960,19 +960,23 @@ class ScanToMapOdometry:
         read the current pose."""
         import numpy as np
 
-        if not self._poses_dev:
+        if self._last_pose is None:
             return np.zeros(3)
         res = float(jax.device_get(self.state.resolution))
-        t = np.asarray(jax.device_get(self._poses_dev[-1]))[:3, 3]
+        # _last_pose is always the flat (4, 4) latest pose, even when the
+        # stored chain holds (chunk, 4, 4) blocks from process_chunk.
+        t = np.asarray(jax.device_get(self._last_pose))[:3, 3]
         k = np.round(t / res).astype(np.int32)
         if not k.any():
             return np.zeros(3)
         shift = k.astype(np.float64) * res
         self.state = re_anchor_map(self.state, jnp.asarray(k))
         sh = jnp.asarray(shift, jnp.float32)
+        # `...` handles both (4, 4) poses and (chunk, 4, 4) blocks.
         self._poses_dev = [
-            p.at[:3, 3].add(-sh) for p in self._poses_dev
+            p.at[..., :3, 3].add(-sh) for p in self._poses_dev
         ]
+        self._last_pose = self._last_pose.at[:3, 3].add(-sh)
         return shift
 
     def _covs(self, points, mask):

@@ -908,3 +908,38 @@ def test_re_anchor_long_drive():
     for p in poses:
         p[:3, 3] += total_shift - anchor
     assert ate_rmse(gt, poses) < 0.05
+
+
+def test_re_anchor_with_process_chunk():
+    """re_anchor() between process_chunk calls (advisor round-4 highs):
+    stored (chunk, 4, 4) pose blocks must shift without crashing, and the
+    cached _last_pose must shift too so the NEXT chunk registers in the
+    re-anchored frame instead of kilometres away."""
+    import numpy as np
+
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry,
+    )
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from fast_gicp_tpu.utils.kitti import ate_rmse
+    from tests.test_odometry import _trajectory_scans
+
+    scans, gt = _trajectory_scans(np.random.default_rng(11), n_frames=8)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    anchor = np.float64([3000.0, -2000.0, 50.0])
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, 3] = anchor
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+    odo = ScanToMapOdometry(cfg, covariance="knn", initial_pose=T0)
+    odo.process_chunk(scans[:4])  # leaves (chunk, 4, 4) blocks in the chain
+    shift = odo.re_anchor()       # must handle blocks AND shift _last_pose
+    assert np.linalg.norm(shift - anchor) < 2.0
+    # the cached latest pose is now near the (new) origin
+    last_t = np.asarray(odo._last_pose)[:3, 3]
+    assert np.linalg.norm(last_t) < 10.0
+    odo.process_chunk(scans[4:])  # next chunk registers in the NEW frame
+    poses = [p.copy() for p in odo.poses]
+    assert len(poses) == len(scans)
+    for p in poses:
+        p[:3, 3] += shift - anchor
+    assert ate_rmse(gt, poses) < 0.05
