@@ -72,9 +72,9 @@ def run_device_rows(methods, source, target, n):
     builds out of the loop).  "fresh" re-estimates covariances every trip;
     "reuse" rotates cached covariances (the swap-protocol analogue,
     align.cpp:87-103: covariance estimation leaves the loop, map build and
-    solve stay in it).  NDT has no covariance cache (its voxel maps ARE
-    the statistics, rebuilt per align, ndt_cuda.cu:120-140), so its two
-    rows coincide by construction.
+    solve stay in it).  NDT's cache is its per-cloud voxel maps
+    (ndt_cuda.cu:70-93); its reuse row prebuilds the TARGET map outside
+    the loop and re-observes only the source (see ndt_reuse_body).
     """
     import time
     from functools import partial
@@ -108,7 +108,10 @@ def run_device_rows(methods, source, target, n):
     # the 4096 default budget saves ~0.4 ms/align at identical t_err)
     ncfg_d2d = NDTConfig(resolution=1.0, grid_dims=ndims,
                          refresh_iterations=3, max_source_voxels=2048)
-    ncfg_p2d = ncfg_d2d._replace(distance_mode="p2d", refresh_iterations=6)
+    # P2D refresh converges by R=3 on the corner-origin raw maps
+    # (measured: t_err 0.0153 / fitness 0.1997 vs 0.0129 / 0.2017 at
+    # R=None; the old finalized-map path needed R=6)
+    ncfg_p2d = ncfg_d2d._replace(distance_mode="p2d", refresh_iterations=3)
 
     rng = np.random.default_rng(0)
     twists = 1e-5 * rng.standard_normal((n, 6)).astype(np.float32)
@@ -163,6 +166,40 @@ def run_device_rows(methods, source, target, n):
             return ndt_align(sj, sm, tj, tm, eye, cfg)
         return body
 
+    def ndt_reuse_body(cfg):
+        """NDT reuse = the reference's per-cloud voxel-map cache
+        (ndt_cuda.cu:70-93: maps built at set_input_* and swapped with
+        the clouds): the TARGET map is prebuilt ONCE outside the loop
+        (loop-invariant — XLA hoists it, exactly like the cached map);
+        each trip re-observes only the SOURCE and rebuilds its per-align
+        state (D2D compact stats; P2D nothing)."""
+        from fast_gicp_tpu.models.ndt import (
+            ndt_align_prebuilt, ndt_prepare_cloud,
+        )
+        from fast_gicp_tpu.ops.voxelmap import build_ndt_grid_compact
+
+        prepared = ndt_prepare_cloud(tp, tm, cfg)
+
+        def body(J):
+            tvm, _, tcen = prepared
+            sj = sp @ J[:3, :3].T + J[:3, 3]
+            if cfg.distance_mode == "d2d":
+                w = sm.astype(sj.dtype)
+                scen = jnp.sum(sj * w[:, None], 0) / jnp.maximum(
+                    jnp.sum(w), 1.0
+                )
+                _, stats = build_ndt_grid_compact(
+                    sj - scen, sm, cfg.resolution, cfg.grid_dims,
+                    budget=cfg.max_source_voxels,
+                    with_map=False, with_stats=True,
+                )
+            else:
+                stats, scen = None, tcen
+            return ndt_align_prebuilt(
+                sj, sm, stats, scen, tvm, tcen, eye, cfg
+            )
+        return body
+
     # beyond-reference estimator: the k-th-NN windowed (adaptive-radius)
     # covariances replace the exact-kNN statistic (see ops/covariance.py);
     # reported as separate rows so the knn rows stay reference-parity
@@ -186,8 +223,8 @@ def run_device_rows(methods, source, target, n):
         "vgicp": (vgicp_fresh, vgicp_reuse),
         "vgicp_adaptive": (vgicp_adaptive, vgicp_reuse),
         "vgicp_rbf": (vgicp_rbf_fresh, vgicp_rbf_reuse),
-        "ndt_d2d": (ndt_body(ncfg_d2d), ndt_body(ncfg_d2d)),
-        "ndt_p2d": (ndt_body(ncfg_p2d), ndt_body(ncfg_p2d)),
+        "ndt_d2d": (ndt_body(ncfg_d2d), ndt_reuse_body(ncfg_d2d)),
+        "ndt_p2d": (ndt_body(ncfg_p2d), ndt_reuse_body(ncfg_p2d)),
     }
 
     @partial(jax.jit, static_argnames=("which", "col"))
@@ -197,13 +234,18 @@ def run_device_rows(methods, source, target, n):
             return carry, r.transformation
         return jax.lax.scan(step, 0, jitters)[1]
 
-    def timed(which, col):
+    def timed(which, col, reps=5):
         out = scan_n(jitters, which, col)
         np.asarray(out)  # warm-up/compile
+        # Enqueue `reps` scans, force ONCE (bench.py methodology): each
+        # device->host force on the axon tunnel costs a flat ~23-35 ms
+        # that would otherwise pollute the per-align number by ~0.2 ms
+        # at n=100.
         t0 = time.perf_counter()
-        out = scan_n(jitters, which, col)
+        for _ in range(reps):
+            out = scan_n(jitters, which, col)
         np.asarray(out)
-        return (time.perf_counter() - t0) * 1e3 / n
+        return (time.perf_counter() - t0) * 1e3 / (n * reps)
 
     rows = {}
     print(f"\ndevice-rolled lax.scan protocol ({n} aligns / dispatch):")

@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from .. import se3
 from ..ops import pallas_linearize, soa
 from ..ops.voxelmap import (
+    NdtGridMap,
+    RawNdtGrid,
+    build_ndt_grid_compact,
+    build_ndt_raw_grid,
     build_voxelmap,
+    lookup_ndt_cols,
     lookup_voxels_cols,
     neighbor_offsets,
 )
@@ -38,6 +43,15 @@ from .base import (Cloud, Registration, centered_frame_align,
                    centered_frame_evaluate)
 
 _MIN_VOXEL_POINTS = 6  # voxels with <= 6 points are skipped
+
+
+class _FinPack(NamedTuple):
+    """Finalized (16, L) frozen pack [mu, M, valid] rebuilt from a
+    linearize aux (P2D two-phase fast path) — the pytree type tells the
+    fused `linearize_frozen` to use the finalized kernel even on a raw
+    map."""
+
+    pack: jax.Array
 
 
 class NDTConfig(NamedTuple):
@@ -55,6 +69,10 @@ class NDTConfig(NamedTuple):
     # voxels are dropped for the align — the reference's GPU hash similarly
     # drops on bucket overflow, gaussian_voxelmap.cu:37-52).
     max_source_voxels: int = 4096
+    # Compact-finalize budget for the TARGET map's occupied voxels (see
+    # voxelmap.build_ndt_grid_compact): occupied target voxels beyond it
+    # are dropped (miss at lookup).  Only used on the grid_dims fast path.
+    max_target_voxels: int = 8192
     # Two-phase solve like VGICPConfig.refresh_iterations: re-search voxel
     # correspondences for the first R LM iterations, then freeze the
     # gathered voxel rows and run the rest gather-free (M still re-frozen
@@ -84,6 +102,49 @@ def _cauchy_weight(resolution, e_norm_sq):
     return c_sq / (c_sq + e_norm_sq)
 
 
+def _gather_voxel_rows(vmap, qx, qy, qz):
+    """Gathered packed rows (..., 16) + found mask for either map type.
+
+    NdtGridMap misses resolve to the all-zero sentinel row (count 0), so
+    `found` is None — the `n_B > _MIN_VOXEL_POINTS` gate already covers
+    them with no extra select."""
+    if isinstance(vmap, NdtGridMap):
+        return vmap.packed[lookup_ndt_cols(vmap, qx, qy, qz)], None
+    vids = lookup_voxels_cols(vmap, qx, qy, qz)
+    return vmap.packed[jnp.maximum(vids, 0)], vids >= 0
+
+
+def _raw_finalized_cols(vmap: RawNdtGrid, qx, qy, qz, invert: bool):
+    """Gather RAW rows for coord queries and finalize to
+    (mu (..., 3, N), cov6-or-M (..., 6, N), count (..., N)) — the SoA
+    twin of the fused kernel's in-kernel finalize (_ndt_raw_finalize):
+    corner-relative moments divided out, MIN_EIG clamp, optional invert
+    (P2D pre-inverts like the finalized freeze)."""
+    rows = vmap.rows[lookup_ndt_cols(vmap, qx, qy, qz)]  # (..., 16)
+    cnt = rows[..., 0]
+    dtype = rows.dtype
+    inv_n = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
+    dmu = jnp.swapaxes(rows[..., 1:4], -1, -2) * inv_n[..., None, :]
+    o = (jnp.stack([qx, qy, qz], axis=-2).astype(dtype) + 1.0) * (
+        vmap.resolution
+    )
+    mu = o + dmu
+    E6 = jnp.swapaxes(rows[..., 4:10], -1, -2) * inv_n[..., None, :]
+    C6 = E6 - jnp.stack(
+        [dmu[..., 0, :] * dmu[..., 0, :],
+         dmu[..., 0, :] * dmu[..., 1, :],
+         dmu[..., 0, :] * dmu[..., 2, :],
+         dmu[..., 1, :] * dmu[..., 1, :],
+         dmu[..., 1, :] * dmu[..., 2, :],
+         dmu[..., 2, :] * dmu[..., 2, :]],
+        axis=-2,
+    )
+    C6 = soa.clamp_eigs_cols(C6, 1e-3)
+    if invert:
+        C6 = soa.inv_sym_cols(C6)
+    return mu, C6, cnt
+
+
 def make_ndt_objective(
     src_means,
     src_mask,
@@ -98,12 +159,17 @@ def make_ndt_objective(
     (see ops/soa.py).
 
     With ``with_freeze=True`` returns (linearize, error, freeze,
-    linearize_frozen): ``freeze(x)`` captures the gathered voxel rows
-    (means, covariances, validity) at pose x; ``linearize_frozen(x,
-    frozen)`` re-linearizes against them without re-searching — M is still
-    re-frozen from the CURRENT linearization rotation (D2D) and the Cauchy
-    weight still tracks the trial pose, so only the voxel assignment is
-    pinned.  Used by `ndt_align` (config.refresh_iterations)."""
+    linearize_frozen, pack_from_aux): ``freeze(x)`` captures the gathered
+    voxel rows (means, covariances, validity) at pose x;
+    ``linearize_frozen(x, frozen)`` re-linearizes against them without
+    re-searching — M is still re-frozen from the CURRENT linearization
+    rotation (D2D) and the Cauchy weight still tracks the trial pose, so
+    only the voxel assignment is pinned.  ``pack_from_aux`` (P2D only,
+    else None) rebuilds the frozen state from a linearize's aux — M is
+    pose-independent for P2D, so the two-phase solve can seed its frozen
+    phase from the LAST refresh iteration's aux instead of paying one
+    more re-search (~0.45 ms at L = 114k).  Used by `ndt_align`
+    (config.refresh_iterations)."""
     n = src_means.shape[0]
     k = offsets.shape[0]
     P = soa.cols_from_points(src_means)  # (3, N)
@@ -134,13 +200,21 @@ def make_ndt_objective(
         qx = coords[0][None, :] + offs[0]  # (K, N)
         qy = coords[1][None, :] + offs[1]
         qz = coords[2][None, :] + offs[2]
-        vids = lookup_voxels_cols(vmap, qx, qy, qz)
-        rows = vmap.packed[jnp.maximum(vids, 0)]  # (K, N, 16)
+        if isinstance(vmap, RawNdtGrid):
+            mu_B, cov_B, n_B = _raw_finalized_cols(
+                vmap, qx, qy, qz, invert=C_A is None
+            )
+            return mu_B, cov_B, src_mask[None, :] & (
+                n_B > _MIN_VOXEL_POINTS
+            )
+        rows, found = _gather_voxel_rows(vmap, qx, qy, qz)  # (K, N, 16)
         mu_B, cov_B, n_B = soa.sym_cols_from_packed(rows)
         # The voxel point count rides in the gathered packed rows — a
         # separate `counts[vids]` would be a 1-D int32 gather (scalar-core,
         # ~1 ms per refresh iteration at 7 x 16k queries).
-        valid = (vids >= 0) & src_mask[None, :] & (n_B > _MIN_VOXEL_POINTS)
+        valid = src_mask[None, :] & (n_B > _MIN_VOXEL_POINTS)
+        if found is not None:
+            valid = valid & found
         if C_A is None:
             # P2D: M = cov_B^-1 is pose-independent — invert once at the
             # freeze instead of every frozen-phase linearization
@@ -148,10 +222,11 @@ def make_ndt_objective(
         return mu_B, cov_B, valid
 
     def linearize_frozen(x, frozen):
-        mu_B, cov_B, valid = frozen
+        fin = isinstance(frozen, _FinPack)
+        mu_B, cov_B, valid = frozen.pack if fin else frozen
         R = x[:3, :3]
-        if C_A is None:  # P2D: cov_B already holds M = cov_B^-1 (freeze)
-            M = cov_B
+        if fin or C_A is None:  # pack already holds M (P2D freeze, or a
+            M = cov_B           # phase-2 state rebuilt from aux)
         else:  # D2D: M = (cov_B + R C_A R^T)^-1 at the linearization point
             M = soa.inv_sym_cols(cov_B + soa.rotate_sym_cols(R, C_A)[None])
         M = M * valid[:, None, :]
@@ -177,8 +252,17 @@ def make_ndt_objective(
         w = weights(p_b, mu_B, valid)  # trial-pose Cauchy weight
         return _psum(jnp.sum(soa.error_cols(p_b, mu_B, M, w, valid), 0))
 
+    def pack_from_aux(aux):
+        valid, M, mu_B = aux
+        return mu_B, M, valid  # P2D: M pose-independent == frozen cov_B^-1
+
+    # pack_from_aux is P2D-only: for D2D it would anchor M at the last
+    # refresh R_eval for the whole frozen phase, which lands 8 mm off the
+    # full re-search solve on the coarse pair (test_ndt_two_phase_
+    # refresh_matches_full) — D2D keeps the exact freeze(p1) re-search.
     if with_freeze:
-        return linearize, error, freeze, linearize_frozen
+        return (linearize, error, freeze, linearize_frozen,
+                pack_from_aux if C_A is None else None)
     return linearize, error
 
 
@@ -194,7 +278,8 @@ def _make_ndt_objective_fused(P, C_A, src_mask, vmap, offs, n, k, _psum,
     linearization rotation, Cauchy weight from the trial pose
     (ndt_compute_derivatives.cu:75-78, :150)."""
     L = n * k
-    mode = "p2d" if C_A is None else "d2d"
+    raw = isinstance(vmap, RawNdtGrid)
+    mode = ("p2d" if C_A is None else "d2d") + ("_raw" if raw else "")
 
     def _pad8(a):
         return jnp.concatenate([a, jnp.zeros((8 - a.shape[0], L), a.dtype)])
@@ -211,14 +296,34 @@ def _make_ndt_objective_fused(P, C_A, src_mask, vmap, offs, n, k, _psum,
         qx = coords[0][None, :] + offs[0]  # (K, N)
         qy = coords[1][None, :] + offs[1]
         qz = coords[2][None, :] + offs[2]
-        vids = lookup_voxels_cols(vmap, qx, qy, qz)
-        rows = vmap.packed[jnp.maximum(vids, 0)]  # (K, N, 16)
+        if raw:
+            # RAW pack [o(3), cnt, sum d(3), sum dd(6), valid]: the voxel
+            # corner comes from the QUERY coordinate (exact), and the
+            # finalize + MIN_EIG clamp run inside the linearize kernel.
+            # (A rows-major (L, 16) variant with the transpose in-kernel
+            # was measured SLOWER on v5e — Mosaic's (2048, 16) block
+            # transpose costs more than the XLA transpose, and the frozen
+            # phase would re-transpose every iteration.)
+            rows = vmap.rows[lookup_ndt_cols(vmap, qx, qy, qz)]
+            ft = rows.reshape(L, 10).T  # one transpose per freeze
+            valid = (
+                jnp.tile(src_mask, k) & (ft[0] > _MIN_VOXEL_POINTS)
+            ).astype(P.dtype)
+            res = vmap.resolution
+            o = jnp.stack(
+                [(qx.reshape(L).astype(P.dtype) + 1.0) * res,
+                 (qy.reshape(L).astype(P.dtype) + 1.0) * res,
+                 (qz.reshape(L).astype(P.dtype) + 1.0) * res]
+            )
+            return jnp.concatenate(
+                [o, ft[0:10], valid[None], jnp.zeros((2, L), P.dtype)]
+            )  # (16, L)
+        rows, found = _gather_voxel_rows(vmap, qx, qy, qz)  # (K, N, 16)
         ft = rows.reshape(L, 16).T  # one transpose per freeze
-        valid = (
-            (vids.reshape(L) >= 0)
-            & jnp.tile(src_mask, k)
-            & (ft[12] > _MIN_VOXEL_POINTS)
-        ).astype(P.dtype)
+        valid = jnp.tile(src_mask, k) & (ft[12] > _MIN_VOXEL_POINTS)
+        if found is not None:
+            valid = valid & found.reshape(L)
+        valid = valid.astype(P.dtype)
         cov6 = ft[jnp.array([3, 4, 5, 7, 8, 11])]
         if C_A is None:
             # P2D: M = cov_B^-1 is pose-independent — invert at the freeze
@@ -229,8 +334,14 @@ def _make_ndt_objective_fused(P, C_A, src_mask, vmap, offs, n, k, _psum,
         return pack
 
     def linearize_frozen(x, pack):
+        # a _FinPack (rebuilt from aux) holds [mu, M, valid] with M
+        # ALREADY inverted (frozen at the last refresh R_eval) — consume
+        # it with the M-direct (p2d-style) kernel regardless of the
+        # distance mode; pytree-type dispatch is trace-time
+        fin = isinstance(pack, _FinPack)
         err, H, b, aux = pallas_linearize.ndt_linearize_pallas(
-            P8, CA8, x, pack, vmap.resolution, mode, interpret=interpret
+            P8, CA8, x, pack.pack if fin else pack, vmap.resolution,
+            "p2d" if fin else mode, interpret=interpret
         )
         return _psum(err), _psum(H), _psum(b), aux
 
@@ -242,8 +353,18 @@ def _make_ndt_objective_fused(P, C_A, src_mask, vmap, offs, n, k, _psum,
             P8, aux, x, vmap.resolution, interpret=interpret
         ))
 
+    def pack_from_aux(aux):
+        # aux rows: [M (6), valid, mu (3), ...] -> M-direct pack
+        # [mu, M, valid] (see linearize_frozen)
+        return _FinPack(jnp.concatenate(
+            [aux[7:10], aux[0:6], aux[6:7], jnp.zeros((6, L), P.dtype)]
+        ))
+
+    # P2D-only, like the SoA path: D2D's frozen phase must re-freeze M
+    # from cov_B at each linearization (aux carries only M).
     if with_freeze:
-        return linearize, error, freeze, linearize_frozen
+        return (linearize, error, freeze, linearize_frozen,
+                pack_from_aux if C_A is None else None)
     return linearize, error
 
 
@@ -275,26 +396,46 @@ def ndt_align(
             )
             return lsq_solve(lin, err, x0, config.lsq)
 
-        lin, err, freeze, lin_frozen = _ndt_objective_for(
+        lin, err, freeze, lin_frozen, pack_from_aux = _ndt_objective_for(
             src_c, source_mask, tgt_c, target_mask, config, with_freeze=True
         )
-        p1 = lsq_solve(lin, err, x0, config.lsq._replace(max_iterations=R))
-        frozen = freeze(p1.transformation)
-        p2 = lsq_solve(
-            lambda x: lin_frozen(x, frozen),
-            err,
-            p1.transformation,
-            config.lsq._replace(max_iterations=config.lsq.max_iterations - R),
-        )
-        return LsqResult(
-            transformation=p2.transformation,
-            hessian=p2.hessian,
-            error=p2.error,
-            converged=p2.converged,
-            iterations=p1.iterations + p2.iterations,
+        return _two_phase_solve(
+            lin, err, freeze, lin_frozen, pack_from_aux, x0, config
         )
 
     return centered_frame_align(run, source, target, target_mask, guess)
+
+
+def _two_phase_solve(lin, err, freeze, lin_frozen, pack_from_aux, x0,
+                     config: NDTConfig) -> LsqResult:
+    """Refresh phase (R re-searching LM iterations) + frozen phase.
+
+    P2D (pack_from_aux set): the frozen phase seeds from the LAST refresh
+    iteration's aux — M is pose-independent, so that aux IS a valid
+    frozen state and the extra re-search after phase 1 is deleted
+    (~0.45 ms/align at L = 114k).  D2D re-freezes at the phase-1 pose
+    (its frozen state carries cov_B, which aux does not)."""
+    R = config.refresh_iterations
+    cfg1 = config.lsq._replace(max_iterations=R)
+    cfg2 = config.lsq._replace(
+        max_iterations=config.lsq.max_iterations - R
+    )
+    if pack_from_aux is not None:
+        p1, aux1 = lsq_solve(lin, err, x0, cfg1, with_aux=True)
+        frozen = pack_from_aux(aux1)
+    else:
+        p1 = lsq_solve(lin, err, x0, cfg1)
+        frozen = freeze(p1.transformation)
+    p2 = lsq_solve(
+        lambda x: lin_frozen(x, frozen), err, p1.transformation, cfg2
+    )
+    return LsqResult(
+        transformation=p2.transformation,
+        hessian=p2.hessian,
+        error=p2.error,
+        converged=p2.converged,
+        iterations=p1.iterations + p2.iterations,
+    )
 
 
 def _compact_source_voxels(vm, max_voxels: int):
@@ -319,21 +460,38 @@ def _ndt_objective_for(
     source, source_mask, target, target_mask, config, with_freeze=False
 ):
     """Shared graph construction for align/evaluate."""
-    target_vm = _ndt_voxelmap(
-        target, target_mask, config.resolution, grid_dims=config.grid_dims
-    )
+    if config.grid_dims is not None:
+        # Fast path (round 5): the target map is the RAW claim + moment
+        # accumulator only — finalize and MIN_EIG clamp run inside the
+        # fused linearize kernel (or the SoA freeze), so the build is two
+        # N-row scatter passes and nothing else.
+        target_vm = build_ndt_raw_grid(
+            target, target_mask, config.resolution, config.grid_dims
+        )
+    else:
+        target_vm = _ndt_voxelmap(
+            target, target_mask, config.resolution, grid_dims=None
+        )
     if config.distance_mode == "p2d":
         return _ndt_objective_prebuilt(
             source, source_mask, None, target_vm, config,
             with_freeze=with_freeze,
         )
     if config.distance_mode == "d2d":
-        source_vm = _ndt_voxelmap(
-            source, source_mask, config.resolution, grid_dims=config.grid_dims
-        )
-        means, mask, covs = _compact_source_voxels(
-            source_vm, config.max_source_voxels
-        )
+        if config.grid_dims is not None:
+            _, stats = build_ndt_grid_compact(
+                source, source_mask, config.resolution, config.grid_dims,
+                budget=config.max_source_voxels,
+                with_map=False, with_stats=True,
+            )
+            means, mask, covs = stats
+        else:
+            source_vm = _ndt_voxelmap(
+                source, source_mask, config.resolution, grid_dims=None
+            )
+            means, mask, covs = _compact_source_voxels(
+                source_vm, config.max_source_voxels
+            )
         return _ndt_objective_prebuilt(
             source, source_mask, (means, mask, covs), target_vm, config,
             with_freeze=with_freeze,
@@ -381,8 +539,21 @@ def ndt_prepare_cloud(points, mask, config: NDTConfig):
     c = jnp.sum(points * valid[:, None], axis=0) / jnp.maximum(
         jnp.sum(valid), 1.0
     )
+    if config.grid_dims is not None:
+        want_stats = config.distance_mode == "d2d"
+        vm, compact = build_ndt_grid_compact(
+            points - c, mask, config.resolution, config.grid_dims,
+            budget=config.max_target_voxels, with_stats=want_stats,
+        )
+        if want_stats and config.max_source_voxels < config.max_target_voxels:
+            # the class API serves BOTH roles from one cache entry; trim
+            # the source stats to the source budget (drop tail rows)
+            m, v, c6 = compact
+            b = config.max_source_voxels
+            compact = (m[:b], v[:b], c6[:, :b])
+        return vm, compact, c
     vm = _ndt_voxelmap(
-        points - c, mask, config.resolution, grid_dims=config.grid_dims
+        points - c, mask, config.resolution, grid_dims=None
     )
     compact = (
         _compact_source_voxels(vm, config.max_source_voxels)
@@ -425,25 +596,11 @@ def ndt_align_prebuilt(
         )
         res = lsq_solve(lin, err, x0, config.lsq)
     else:
-        lin, err, freeze, lin_frozen = _ndt_objective_prebuilt(
+        lin, err, freeze, lin_frozen, pack_from_aux = _ndt_objective_prebuilt(
             src_c, source_mask, sc, target_vm, config, with_freeze=True
         )
-        p1 = lsq_solve(lin, err, x0, config.lsq._replace(max_iterations=R))
-        frozen = freeze(p1.transformation)
-        p2 = lsq_solve(
-            lambda x: lin_frozen(x, frozen),
-            err,
-            p1.transformation,
-            config.lsq._replace(
-                max_iterations=config.lsq.max_iterations - R
-            ),
-        )
-        res = LsqResult(
-            transformation=p2.transformation,
-            hessian=p2.hessian,
-            error=p2.error,
-            converged=p2.converged,
-            iterations=p1.iterations + p2.iterations,
+        res = _two_phase_solve(
+            lin, err, freeze, lin_frozen, pack_from_aux, x0, config
         )
     A = se3.adjoint_translation(tgt_center)
     return res._replace(

@@ -970,7 +970,7 @@ class ScanToMapOdometry:
         if not k.any():
             return np.zeros(3)
         shift = k.astype(np.float64) * res
-        self.state = re_anchor_map(self.state, jnp.asarray(k))
+        self._re_anchor_state(k)
         sh = jnp.asarray(shift, jnp.float32)
         # `...` handles both (4, 4) poses and (chunk, 4, 4) blocks.
         self._poses_dev = [
@@ -978,6 +978,12 @@ class ScanToMapOdometry:
         ]
         self._last_pose = self._last_pose.at[:3, 3].add(-sh)
         return shift
+
+    def _re_anchor_state(self, k) -> None:
+        """Shift the map state by -k cells (hook: the sharded subclass
+        re-routes voxels across shards instead, ownership being a
+        hash of coords)."""
+        self.state = re_anchor_map(self.state, jnp.asarray(k))
 
     def _covs(self, points, mask):
         from ..ops.covariance import knn_covariances_jit, rbf_covariances_jit

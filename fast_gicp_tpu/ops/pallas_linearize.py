@@ -356,6 +356,164 @@ def _ndt_p2d_lin_kernel(ps_ref, ca_ref, x_ref, pack_ref, out_ref, aux_ref):
     _ndt_lin_core(ps_ref, x_ref, out_ref, aux_ref, i, q0, q1, q2, m, valid)
 
 
+def _acos_lane(x):
+    """arccos for Pallas TPU (Mosaic lowers cos/sqrt but not acos):
+    Abramowitz & Stegun 4.4.46 polynomial, |err| <= 2e-8 rad — full f32
+    accuracy for the eigenvalue trisection below."""
+    ax = jnp.abs(x)
+    p = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * (
+        1.5707963050 + ax * (
+            -0.2145988016 + ax * (
+                0.0889789874 + ax * (
+                    -0.0501743046 + ax * (
+                        0.0308918810 + ax * (
+                            -0.0170881256 + ax * (
+                                0.0066700901 + ax * -0.0012624911
+                            )
+                        )
+                    )
+                )
+            )
+        )
+    )
+    return jnp.where(x >= 0, p, 3.14159265358979 - p)
+
+
+def _eigvals_sym_lane(c00, c01, c02, c11, c12, c22):
+    """Closed-form sym-3x3 eigenvalues on lane tuples (the in-kernel twin
+    of soa.eigvals_sym_cols — identical math, identical guards; arccos
+    via `_acos_lane`)."""
+    q = (c00 + c11 + c22) / 3.0
+    p1 = c01 * c01 + c02 * c02 + c12 * c12
+    d0, d1, d2 = c00 - q, c11 - q, c22 - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
+    iso = p2 <= 1e-30
+    p = jnp.sqrt(jnp.where(iso, 1.0, p2) / 6.0)
+    inv_p = 1.0 / p
+    b00, b11, b22 = d0 * inv_p, d1 * inv_p, d2 * inv_p
+    b01, b02, b12 = c01 * inv_p, c02 * inv_p, c12 * inv_p
+    det = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(det * 0.5, -1.0, 1.0)
+    phi = _acos_lane(r) / 3.0
+    e_big = q + 2.0 * p * jnp.cos(phi)
+    e_small = q + 2.0 * p * jnp.cos(phi + 2.0943951023931953)
+    e_mid = 3.0 * q - e_big - e_small
+    return (
+        jnp.where(iso, q, e_small),
+        jnp.where(iso, q, e_mid),
+        jnp.where(iso, q, e_big),
+    )
+
+
+def _clamp_eigs_lane(c6, eps):
+    """MIN_EIG clamp on lane tuples (in-kernel twin of
+    soa.clamp_eigs_cols: guarded Cayley-Hamilton projectors,
+    covariance_regularization.cu covariance_regularization_mineig)."""
+    c00, c01, c02, c11, c12, c22 = c6
+    e_s, e_m, e_b = _eigvals_sym_lane(*c6)
+    c_s = jnp.maximum(eps - e_s, 0.0)
+    c_m = jnp.maximum(eps - e_m, 0.0)
+    c_b = jnp.maximum(eps - e_b, 0.0)
+    s00 = c00 * c00 + c01 * c01 + c02 * c02
+    s01 = c00 * c01 + c01 * c11 + c02 * c12
+    s02 = c00 * c02 + c01 * c12 + c02 * c22
+    s11 = c01 * c01 + c11 * c11 + c12 * c12
+    s12 = c01 * c02 + c11 * c12 + c12 * c22
+    s22 = c02 * c02 + c12 * c12 + c22 * c22
+    scale = jnp.maximum(jnp.maximum(jnp.abs(e_b), jnp.abs(e_s)), eps)
+    tiny = 1e-12 * scale * scale
+
+    def coeff(num, den):
+        safe = den > tiny
+        return jnp.where(safe, num / jnp.where(safe, den, 1.0), 0.0)
+
+    a_b = coeff(c_m - c_b, (e_b - e_s) * (e_b - e_m))
+    a_s = coeff(c_s - c_m, (e_s - e_m) * (e_s - e_b))
+
+    def poly(t, d, a):
+        return (
+            a * (s00 - t * c00 + d),
+            a * (s01 - t * c01),
+            a * (s02 - t * c02),
+            a * (s11 - t * c11 + d),
+            a * (s12 - t * c12),
+            a * (s22 - t * c22 + d),
+        )
+
+    pb = poly(e_s + e_m, e_s * e_m, -a_b)
+    ps = poly(e_m + e_b, e_m * e_b, a_s)
+    return (
+        c00 + c_m + pb[0] + ps[0],
+        c01 + pb[1] + ps[1],
+        c02 + pb[2] + ps[2],
+        c11 + c_m + pb[3] + ps[3],
+        c12 + pb[4] + ps[4],
+        c22 + c_m + pb[5] + ps[5],
+    )
+
+
+_NDT_MIN_EIG = 1e-3  # ndt_cuda.cu:120-140 MIN_EIG regularization
+
+
+
+
+def _ndt_raw_finalize(pack_ref):
+    """Raw-pack finalize, in-kernel: pack rows [voxel corner o (3), count,
+    sum d (3), sum dd sym-6 (6), valid] -> (mu, clamped sym-6 cov, valid).
+    Moments are corner-relative (RawNdtGrid), so E[dd] - dmu dmu^T never
+    cancels; the MIN_EIG clamp runs here because the kernel is memory-
+    bound and the VPU lanes are otherwise idle (vs ~0.07 ms per build-side
+    clamp pass at 16k voxels)."""
+    o0, o1, o2 = pack_ref[0], pack_ref[1], pack_ref[2]
+    cnt = pack_ref[3]
+    valid = pack_ref[13]
+    alive = (cnt > 0.0).astype(cnt.dtype)
+    inv_n = alive / jnp.maximum(cnt, 1.0)
+    d0 = pack_ref[4] * inv_n
+    d1 = pack_ref[5] * inv_n
+    d2 = pack_ref[6] * inv_n
+    q0, q1, q2 = o0 + d0, o1 + d1, o2 + d2
+    c6 = (
+        pack_ref[7] * inv_n - d0 * d0,
+        pack_ref[8] * inv_n - d0 * d1,
+        pack_ref[9] * inv_n - d0 * d2,
+        pack_ref[10] * inv_n - d1 * d1,
+        pack_ref[11] * inv_n - d1 * d2,
+        pack_ref[12] * inv_n - d2 * d2,
+    )
+    c6c = _clamp_eigs_lane(c6, _NDT_MIN_EIG)
+    return q0, q1, q2, c6c, valid * alive
+
+
+def _ndt_d2d_raw_lin_kernel(ps_ref, ca_ref, x_ref, pack_ref, out_ref,
+                            aux_ref):
+    """D2D against RAW target rows: finalize + MIN_EIG clamp in-kernel,
+    then M = (cov_B + R C_A R^T)^-1 at the linearization pose."""
+    i = pl.program_id(0)
+    q0, q1, q2, cb, valid = _ndt_raw_finalize(pack_ref)
+    cr = _rotate_sym_cols(
+        x_ref, ca_ref[0], ca_ref[1], ca_ref[2], ca_ref[3], ca_ref[4],
+        ca_ref[5],
+    )
+    s = tuple(cb[k] + cr[k] for k in range(6))
+    m = tuple(mk * valid for mk in _sym_inv(*s))
+    _ndt_lin_core(ps_ref, x_ref, out_ref, aux_ref, i, q0, q1, q2, m, valid)
+
+
+def _ndt_p2d_raw_lin_kernel(ps_ref, ca_ref, x_ref, pack_ref, out_ref,
+                            aux_ref):
+    """P2D against RAW target rows: finalize + clamp + invert in-kernel."""
+    i = pl.program_id(0)
+    del ca_ref
+    q0, q1, q2, cb, valid = _ndt_raw_finalize(pack_ref)
+    m = tuple(mk * valid for mk in _sym_inv(*cb))
+    _ndt_lin_core(ps_ref, x_ref, out_ref, aux_ref, i, q0, q1, q2, m, valid)
+
+
 @partial(jax.jit, static_argnames=("mode", "interpret"))
 def ndt_linearize_pallas(p_src, ca, x, pack, resolution, mode: str,
                          interpret: bool = False):
@@ -368,7 +526,12 @@ def ndt_linearize_pallas(p_src, ca, x, pack, resolution, mode: str,
     L = p_src.shape[1]
     if L % _NT:
         raise ValueError(f"L={L} not a multiple of {_NT}")
-    kernel = _ndt_d2d_lin_kernel if mode == "d2d" else _ndt_p2d_lin_kernel
+    kernel = {
+        "d2d": _ndt_d2d_lin_kernel,
+        "p2d": _ndt_p2d_lin_kernel,
+        "d2d_raw": _ndt_d2d_raw_lin_kernel,
+        "p2d_raw": _ndt_p2d_raw_lin_kernel,
+    }[mode]
     x_tile = (
         jnp.zeros((8, 128), p_src.dtype)
         .at[:4, :4].set(x)

@@ -189,6 +189,213 @@ def build_raw_grid(points, mask, resolution, covs, grid_dims):
     )
 
 
+class NdtGridMap(NamedTuple):
+    """Compact-finalized NDT voxel map (round-5 fast build).
+
+    Same consumer contract as a finalized GridVoxelMap (gatherable
+    (n + 1, 16) packed rows [mu(3) cov9 count pad3]) but the build never
+    finalizes the full table: occupied voxels are compacted FIRST
+    (jnp.nonzero with a static budget) and the finalize + MIN_EIG clamp +
+    pack run on the compact set only, then scatter back into `packed`
+    (~4k rows instead of ~16k full-table rows for each of the three
+    passes).  Per-voxel raw moments are taken about each voxel's own
+    corner so the E[xx] - mu mu^T subtraction never cancels at cloud
+    extents (round-3b windowed-moment lesson).
+
+    The index grid stores REPRESENTATIVE-POINT ids (`rep`-or-`n` like
+    DenseRawGridMap, not vid-or--1): misses and over-budget drops resolve
+    to packed row `n` (all zeros -> count 0 -> invalid), so consumers
+    need no separate validity select.  Matches the reference's voxelmap
+    create + ndt finalize (gaussian_voxelmap.cu ndt_finalize_voxels_kernel,
+    ndt_cuda.cu:120-140); over-budget occupied voxels are dropped like the
+    reference GPU hash drops on bucket-scan overflow
+    (gaussian_voxelmap.cu:37-52).
+    """
+
+    packed: jax.Array  # (n + 1, 16); row n all-zero sentinel
+    grid: jax.Array  # (gx, gy, gz) int32 rep-or-n (static shape carrier)
+    grid8: jax.Array  # (ncells/8 + 1, 8) int32; last row all n
+    origin: jax.Array  # (3,) int32 voxel coord of cell 0
+    resolution: jax.Array  # () f32
+
+
+def lookup_ndt_cols(nmap: NdtGridMap, cx, cy, cz):
+    """SoA lookup on an NdtGridMap: coord columns -> rep-or-n ids.
+
+    Out-of-grid queries park on grid8's all-`n` sentinel row; id `n`
+    indexes the zero row of `packed` (count 0 -> invalid downstream)."""
+    gx, gy, gz = nmap.grid.shape
+    ncells = gx * gy * gz
+    rx = cx - nmap.origin[0]
+    ry = cy - nmap.origin[1]
+    rz = cz - nmap.origin[2]
+    inside = (
+        (rx >= 0) & (rx < gx) & (ry >= 0) & (ry < gy) & (rz >= 0) & (rz < gz)
+    )
+    flat = (rx * gy + ry) * gz + rz
+    return _pick8(nmap.grid8, jnp.where(inside, flat, ncells))
+
+
+class RawNdtGrid(NamedTuple):
+    """UNFINALIZED NDT voxel map — the fresh-align fast path (round 5).
+
+    The build is exactly two N-row passes (claim scatter-min + moment
+    scatter-add) plus the rep readback; there is no finalize, no MIN_EIG
+    clamp, no pack, and no compaction — consumers gather raw rows
+    [count, sum d (3), sum dd sym-6 (6)] (moments about each voxel's own
+    corner, so nothing cancels) and finalize + clamp INSIDE the fused
+    linearize kernel, where the lane math is free (the kernel is
+    memory-bound).  The voxel corner is reconstructed from the QUERY
+    coordinate at lookup time (o = (c + 1) * res, exact), so it needs no
+    storage.  Index grid stores rep-or-n like NdtGridMap; row n of
+    `rows` is the all-zero miss sentinel (count 0)."""
+
+    rows: jax.Array  # (n + 1, 10) f32 [cnt, sum d(3), sum dd sym-6(6)]
+    grid: jax.Array  # (gx, gy, gz) int32 rep-or-n (static shape carrier)
+    grid8: jax.Array  # (ncells/8 + 1, 8) int32; last row all n
+    origin: jax.Array  # (3,) int32
+    resolution: jax.Array  # () f32
+
+
+def _ndt_claim_acc(points, mask, resolution, grid_dims):
+    """Shared NDT grid-build core: claim + corner-origin moment scatter.
+
+    Returns (acc (n + 1, 10), claim (ncells + 8,), grid8, origin)."""
+    n = points.shape[0]
+    dtype = points.dtype
+    gx, gy, gz = grid_dims
+    ncells = gx * gy * gz
+    if ncells % 8:
+        raise ValueError(f"grid cell count {ncells} must be a multiple of 8")
+
+    # (3, N) column pipeline (an (N, 3) elementwise pipeline pads 3 lanes
+    # to 128; see _build_grid_voxelmap)
+    pc = jnp.swapaxes(points, 0, 1)
+    coords_c = jnp.floor(pc / resolution - 0.5).astype(jnp.int32)
+    origin = jnp.min(
+        jnp.where(mask[None, :], coords_c, _COORD_SENTINEL), axis=1
+    )
+    rel = coords_c - origin[:, None]
+    dims = jnp.asarray([gx, gy, gz], jnp.int32)
+    inside = mask & jnp.all((rel >= 0) & (rel < dims[:, None]), axis=0)
+    flat = jnp.where(inside, (rel[0] * gy + rel[1]) * gz + rel[2], ncells)
+
+    point_idx = jnp.arange(n, dtype=jnp.int32)
+    claim = jnp.full(ncells + 8, n, jnp.int32).at[flat].min(point_idx)
+    grid8 = claim.reshape(ncells // 8 + 1, 8)
+    rep = _pick8(grid8, flat)
+    vid = jnp.where(inside, rep, n)
+
+    # Raw moments about each voxel's own corner (o = (c + 1) * res, the
+    # center of the floor(x/res - 0.5) bin): within-voxel deltas are
+    # <= res, so the finalize subtraction never cancels.
+    w = inside.astype(dtype)
+    o = (coords_c.astype(dtype) + 1.0) * resolution
+    dx, dy, dz = pc[0] - o[0], pc[1] - o[1], pc[2] - o[2]
+    contrib = jnp.stack(
+        [w, dx * w, dy * w, dz * w,
+         dx * dx * w, dx * dy * w, dx * dz * w,
+         dy * dy * w, dy * dz * w, dz * dz * w],
+        axis=1,
+    )  # (N, 10): [count, sum d(3), sum dd sym-6]
+    acc = jnp.zeros((n + 1, 10), dtype).at[vid].add(contrib)
+    return acc, claim, grid8, origin
+
+
+def build_ndt_raw_grid(points, mask, resolution, grid_dims):
+    """Minimal fresh-align NDT build: claim + moment scatter, nothing else
+    (see RawNdtGrid)."""
+    dtype = points.dtype
+    gx, gy, gz = grid_dims
+    ncells = gx * gy * gz
+    acc, claim, grid8, origin = _ndt_claim_acc(
+        points, mask, resolution, grid_dims
+    )
+    return RawNdtGrid(
+        rows=acc,
+        grid=claim[:ncells].reshape(gx, gy, gz),
+        grid8=grid8,
+        origin=origin,
+        resolution=jnp.asarray(resolution, dtype),
+    )
+
+
+def build_ndt_grid_compact(
+    points,
+    mask,
+    resolution,
+    grid_dims,
+    budget: int,
+    min_eig: float = 1e-3,
+    with_map: bool = True,
+    with_stats: bool = False,
+):
+    """One-pass NDT grid build with compact finalize (see NdtGridMap).
+
+    Returns (map_or_None, stats_or_None) where stats =
+    (means (budget, 3), valid (budget,), cov6 (6, budget)) — the compact
+    occupied-voxel statistics (what D2D's source side consumes directly,
+    replacing build + `_compact_source_voxels`).
+    """
+    from . import soa
+
+    n = points.shape[0]
+    dtype = points.dtype
+    gx, gy, gz = grid_dims
+    ncells = gx * gy * gz
+    acc, claim, grid8, origin = _ndt_claim_acc(
+        points, mask, resolution, grid_dims
+    )
+
+    # Compact occupied rows FIRST; finalize/clamp/pack only those.
+    occ = acc[:n, 0] > 0
+    n_occ = jnp.sum(occ.astype(jnp.int32))
+    (idx,) = jnp.nonzero(occ, size=budget, fill_value=n)
+    valid = jnp.arange(budget, dtype=jnp.int32) < n_occ
+    accT = acc[idx].T  # (10, B)
+    cnt = accT[0]
+    inv_n = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
+    dmu = accT[1:4] * inv_n  # (3, B) mean offset from the voxel corner
+    # voxel corner of each compact row from its representative point
+    rep_c = jnp.swapaxes(points[idx], 0, 1)  # (3, B)
+    oc = (jnp.floor(rep_c / resolution - 0.5) + 1.0) * resolution
+    mu = (oc + dmu) * valid[None, :]
+    E6 = accT[4:10] * inv_n
+    C6 = E6 - jnp.stack(
+        [dmu[0] * dmu[0], dmu[0] * dmu[1], dmu[0] * dmu[2],
+         dmu[1] * dmu[1], dmu[1] * dmu[2], dmu[2] * dmu[2]],
+        axis=0,
+    )
+    C6c = soa.clamp_eigs_cols(C6, min_eig)
+
+    stats = (
+        (jnp.swapaxes(mu, 0, 1), valid, C6c * valid[None, :])
+        if with_stats else None
+    )
+    if not with_map:
+        return None, stats
+
+    rows16 = jnp.concatenate(
+        [
+            jnp.swapaxes(mu, 0, 1),
+            soa.sym_cols_to_rows9(C6c),
+            cnt[:, None],
+            jnp.zeros((budget, 3), dtype),
+        ],
+        axis=1,
+    ) * valid[:, None].astype(dtype)
+    # fill rows (idx == n) all carry zeros -> row n stays the zero sentinel
+    packed = jnp.zeros((n + 1, 16), dtype).at[idx].set(rows16)
+    nmap = NdtGridMap(
+        packed=packed,
+        grid=claim[:ncells].reshape(gx, gy, gz),
+        grid8=grid8,
+        origin=origin,
+        resolution=jnp.asarray(resolution, dtype),
+    )
+    return nmap, stats
+
+
 def lookup_raw_rows_cols(dmap: DenseRawGridMap, grid_dims, cx, cy, cz):
     """Gather raw accumulator rows for integer coord columns (...,) each.
 

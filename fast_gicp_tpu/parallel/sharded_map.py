@@ -298,6 +298,114 @@ def update_sharded_map_routed(
     return run(state, points_world, covs_world, mask)
 
 
+@partial(jax.jit, static_argnames=("mesh",), donate_argnums=(1,))
+def re_anchor_sharded_map(
+    mesh, state: ShardedMapState, shift_cells
+) -> ShardedMapState:
+    """In-mesh map re-anchoring: shift every voxel by -shift_cells and
+    redistribute across shards with ONE all_to_all.
+
+    Ownership is hash-of-coords, so the integer frame shift moves voxels
+    between devices; the offline workaround (save -> `re_anchor_map` on
+    the merged single-device state -> `distribute_map`) pays a full
+    host round-trip of the whole map.  Here each shard shifts its live
+    rows exactly like `re_anchor_map` (coords - k; mean sums - count * t;
+    covariance sums translation-invariant), computes each row's NEW owner,
+    routes 16-float packets [sums(13) | coords(3)] with the same argsort
+    bucket compaction as `update_sharded_map_routed`, and rebuilds its
+    local lut from the rows it receives.  Coords ride as f32 lanes (NEVER
+    bitcast int lanes into a float buffer — small-int bit patterns are
+    denormals that the routing math would flush); voxel coords are exact
+    in f32 up to 2^24 cells.
+
+    Routing capacity per (src, dst) pair is C_local (a source can send at
+    most its whole shard to one destination), so no packet is ever
+    dropped in the route; rows beyond the DESTINATION capacity (only
+    possible if the hash balance were pathologically broken) drop like
+    `update_map`'s over-capacity inserts.
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    cap_local = state.sums.shape[0] // d
+    table_size = state.lut.shape[0] // d
+    cap = cap_local
+
+    from ..models.scan_to_map import MAX_PROBE
+    from ..ops.voxelmap import _COORD_SENTINEL, _EMPTY, _build_table
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(_state_specs(axis), P()),
+        out_specs=_state_specs(axis),
+    )
+    def run(st, k):
+        nv = st.num_voxels[0]
+        vid = jnp.arange(cap_local, dtype=jnp.int32)
+        live = vid < nv
+        t = k.astype(jnp.float32) * st.resolution
+        coords = jnp.where(live[:, None], st.coords - k[None], 0)
+        sums = jnp.concatenate(
+            [
+                st.sums[:, 0:1],
+                st.sums[:, 1:4] - st.sums[:, 0:1] * t[None],
+                st.sums[:, 4:13],
+            ],
+            axis=1,
+        ) * live[:, None]
+        h = _hash_coords(coords)
+        owner = _owner_of(h, d)
+        rows = jnp.concatenate([sums, coords.astype(jnp.float32)], axis=1)
+
+        owner_key = jnp.where(live, owner, d)
+        order = jnp.argsort(owner_key)
+        sorted_key = owner_key[order]
+        starts = jnp.searchsorted(sorted_key, jnp.arange(d))
+        rank = vid - starts[jnp.clip(sorted_key, 0, d - 1)]
+        ok = (sorted_key < d) & (rank < cap)
+        slot = jnp.where(ok, sorted_key * cap + rank, d * cap)
+        buf = (
+            jnp.zeros((d * cap + 1, 16), jnp.float32)
+            .at[slot].set(rows[order])[: d * cap]
+            .reshape(d, cap, 16)
+        )
+        recv = jax.lax.all_to_all(
+            buf, axis, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(d * cap, 16)
+
+        # live received rows carry count >= 1; front-pack into capacity
+        rvalid = recv[:, 0] > 0.0
+        order2 = jnp.argsort(~rvalid)  # stable: live rows first
+        count = jnp.minimum(
+            jnp.sum(rvalid.astype(jnp.int32)), cap_local
+        )
+        front = vid < count
+        recv_f = recv[order2[:cap_local]]
+        new_sums = jnp.where(front[:, None], recv_f[:, :13], 0.0)
+        new_coords = jnp.where(
+            front[:, None],
+            jnp.round(recv_f[:, 13:16]).astype(jnp.int32),
+            0,
+        )
+        table = _build_table(
+            new_coords, count, cap_local, table_size, MAX_PROBE
+        )
+        safe_t = jnp.maximum(table, 0) * (table != _EMPTY)
+        lut_coords = jnp.where(
+            (table != _EMPTY)[:, None], new_coords[safe_t], _COORD_SENTINEL
+        )
+        lut = jnp.concatenate([table[:, None], lut_coords], axis=1)
+        return ShardedMapState(
+            sums=new_sums,
+            coords=new_coords,
+            lut=lut,
+            num_voxels=count[None],
+            resolution=st.resolution,
+        )
+
+    return run(state, jnp.asarray(shift_cells, jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("mesh", "new_capacity_per_device"))
 def grow_sharded_map(
     mesh, state: ShardedMapState, new_capacity_per_device: int
@@ -758,16 +866,13 @@ class ShardedScanToMapOdometry(ScanToMapOdometry):
             return sharded_rbf_covariances(self.mesh, points, mask)
         return super()._covs(points, mask)
 
-    def re_anchor(self):
-        """Not supported on the sharded map: voxel ownership is
-        hash-of-coords, so a frame shift reassigns voxels across shards
-        (an all_to_all redistribution).  Re-anchor offline instead:
-        `save_sharded_map` -> `re_anchor_map` on the merged state ->
-        `distribute_map` (the merged checkpoint is a single-device
-        MapState)."""
-        raise NotImplementedError(
-            "sharded map re-anchoring requires cross-shard redistribution;"
-            " re-anchor via save_sharded_map/re_anchor_map/distribute_map"
+    def _re_anchor_state(self, k) -> None:
+        """In-mesh frame shift: ownership is hash-of-coords, so the shift
+        reassigns voxels across shards — one all_to_all redistribution
+        (`re_anchor_sharded_map`), replacing the round-4 offline detour
+        (save -> merged `re_anchor_map` -> `distribute_map`)."""
+        self.state = re_anchor_sharded_map(
+            self.mesh, self.state, jnp.asarray(k)
         )
 
     def __init__(

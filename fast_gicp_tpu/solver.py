@@ -86,8 +86,16 @@ def lsq_solve(
     error_fn: Callable,
     x0: jax.Array,
     config: LsqConfig = LsqConfig(),
-) -> LsqResult:
-    """Run the GN/LM fixed-point solve from initial guess ``x0`` (4x4)."""
+    with_aux: bool = False,
+):
+    """Run the GN/LM fixed-point solve from initial guess ``x0`` (4x4).
+
+    With ``with_aux=True`` returns ``(LsqResult, aux)`` where ``aux`` is
+    the frozen state of the LAST executed linearization (zeros-shaped if
+    no iteration ran).  Two-phase solvers use it to seed their frozen
+    phase from the final refresh-phase freeze instead of paying one more
+    re-search (NDT-P2D: ~0.45 ms/align of gather + lane-pick at
+    L = 114k correspondences)."""
     dtype = x0.dtype
     eye6 = jnp.eye(6, dtype=dtype)
 
@@ -111,9 +119,9 @@ def lsq_solve(
         return delta @ x, delta, d, jnp.dot(d, lam * d - b)
 
     def gn_step(x, lam):
-        y0, H, b, _aux = linearize_fn(x)
+        y0, H, b, aux = linearize_fn(x)
         xi, delta, _d, _denom = trial(H, b, jnp.zeros((), dtype), x)
-        return xi, lam, delta, H, y0, jnp.array(True)
+        return xi, lam, delta, H, y0, jnp.array(True), aux
 
     def lm_step(x, lam):
         y0, H, b, aux = linearize_fn(x)
@@ -176,21 +184,25 @@ def lsq_solve(
             inner_cond, inner_body, init
         )
         success = accepted | conv_reject
-        return x_new, lam, delta, H, y0, success
+        return x_new, lam, delta, H, y0, success, aux
 
     step = lm_step if config.optimizer == "lm" else gn_step
 
     def outer_cond(s):
-        i, _x, _lam, converged, failed, _H, _y = s
+        i = s[0]
+        converged, failed = s[3], s[4]
         return (i < config.max_iterations) & ~converged & ~failed
 
     def outer_body(s):
-        i, x, lam, _conv, _failed, H_prev, _y_prev = s
-        x_new, lam, delta, H, y0, success = step(x, lam)
+        i, x, lam, _conv, _failed, H_prev, _y_prev = s[:7]
+        x_new, lam, delta, H, y0, success, aux = step(x, lam)
         converged = converged_fn(delta) & success
         # final_hessian_ only updates on a successful step (impl:117, :163).
         H_out = jnp.where(success, H, H_prev)
-        return (i + 1, x_new, lam, converged, ~success, H_out, y0)
+        out = (i + 1, x_new, lam, converged, ~success, H_out, y0)
+        # the aux carry exists only when requested — other callers keep
+        # the round-4 carry (no chance of an extra while-carry copy)
+        return out + (aux,) if with_aux else out
 
     init = (
         jnp.int32(0),
@@ -201,9 +213,15 @@ def lsq_solve(
         jnp.eye(6, dtype=dtype),
         jnp.asarray(0.0, dtype),
     )
-    i, x, _lam, converged, _failed, H, y = jax.lax.while_loop(
-        outer_cond, outer_body, init
-    )
-    return LsqResult(
+    if with_aux:
+        aux0 = jax.tree_util.tree_map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype),
+            jax.eval_shape(lambda x: linearize_fn(x)[3], x0),
+        )
+        init = init + (aux0,)
+    out = jax.lax.while_loop(outer_cond, outer_body, init)
+    i, x, _lam, converged, _failed, H, y = out[:7]
+    res = LsqResult(
         transformation=x, hessian=H, error=y, converged=converged, iterations=i
     )
+    return (res, out[7]) if with_aux else res

@@ -378,3 +378,71 @@ def test_fused_ndt_objective_matches_soa(rng):
         t_s = float(err_s(x2, aux_s))
         t_f = float(err_f(x2, aux_f))
         np.testing.assert_allclose(t_f, t_s, rtol=1e-4)
+
+
+def test_fused_ndt_raw_objective_matches_soa(rng):
+    """The round-5 RAW-map NDT kernels (in-kernel finalize + MIN_EIG
+    clamp, voxel corner reconstructed from the query coordinate) against
+    the SoA raw freeze AND against the finalized-map SoA objective —
+    the raw path must reproduce the finalized statistics exactly
+    (same moments, same clamp; only the evaluation site moves)."""
+    import numpy as np
+
+    from fast_gicp_tpu import se3
+    from fast_gicp_tpu.models import ndt as ndt_mod
+    from fast_gicp_tpu.ops import soa
+    from fast_gicp_tpu.ops.voxelmap import (
+        auto_grid_dims, build_ndt_raw_grid, neighbor_offsets,
+    )
+
+    n = 2048
+    pts_np = (rng.uniform(size=(n, 3)) * 16 - 8).astype(np.float32)
+    src = jnp.asarray(pts_np + rng.normal(size=(n, 3)).astype(np.float32) * 0.05)
+    mask = jnp.asarray(np.arange(n) < n - 100)
+    tgt = jnp.asarray(pts_np)
+    tmask = jnp.ones(n, bool)
+    dims = auto_grid_dims(pts_np, 1.0)
+    raw_vm = build_ndt_raw_grid(tgt, tmask, 1.0, dims)
+    fin_vm = ndt_mod._ndt_voxelmap(tgt, tmask, 1.0, grid_dims=dims)
+    offsets = jnp.asarray(neighbor_offsets("direct7"))
+    offs = offsets.T[:, :, None]
+    x = se3.se3_exp(jnp.asarray(np.float32([0.02, -0.01, 0.03, 0.1, -0.2, 0.05])))
+    x2 = se3.se3_exp(jnp.asarray(np.float32([-0.01, 0.02, 0.0, 0.05, 0.1, -0.1])))
+    cfg = ndt_mod.NDTConfig(resolution=1.0, grid_dims=dims)
+
+    A = rng.normal(size=(n, 3, 3)).astype(np.float32)
+    covs_a = jnp.asarray(A @ np.swapaxes(A, 1, 2) + 0.1 * np.eye(3, dtype=np.float32))
+
+    for mode_covs in (covs_a, None):  # d2d, p2d
+        # SoA objective on the RAW map
+        lin_r, err_r = ndt_mod.make_ndt_objective(
+            src, mask, mode_covs, raw_vm, offsets, cfg
+        )
+        # SoA objective on the FINALIZED map (round-4 semantics)
+        lin_s, err_s = ndt_mod.make_ndt_objective(
+            src, mask, mode_covs, fin_vm, offsets, cfg
+        )
+        e_r, H_r, b_r, aux_r = lin_r(x)
+        e_s, H_s, b_s, _ = lin_s(x)
+        np.testing.assert_allclose(float(e_r), float(e_s), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(H_r), np.asarray(H_s),
+                                   rtol=3e-3, atol=0.3)
+        np.testing.assert_allclose(np.asarray(b_r), np.asarray(b_s),
+                                   rtol=3e-3, atol=0.3)
+
+        # fused raw kernels (interpret mode) vs the SoA raw objective
+        P = soa.cols_from_points(src)
+        C_A = None if mode_covs is None else soa.sym_cols_from_covs(mode_covs)
+        lin_f, err_f = ndt_mod._make_ndt_objective_fused(
+            P, C_A, mask, raw_vm, offs, n, offsets.shape[0],
+            lambda v: v, False, interpret=True,
+        )
+        e_f, H_f, b_f, aux_f = lin_f(x)
+        np.testing.assert_allclose(float(e_f), float(e_r), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_r),
+                                   rtol=3e-3, atol=0.3)
+        np.testing.assert_allclose(np.asarray(b_f), np.asarray(b_r),
+                                   rtol=3e-3, atol=0.3)
+        t_r = float(err_r(x2, aux_r))
+        t_f = float(err_f(x2, aux_f))
+        np.testing.assert_allclose(t_f, t_r, rtol=1e-4)

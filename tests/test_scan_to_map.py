@@ -943,3 +943,104 @@ def test_re_anchor_with_process_chunk():
     for p in poses:
         p[:3, 3] += shift - anchor
     assert ate_rmse(gt, poses) < 0.05
+
+
+def test_sharded_re_anchor_in_mesh_matches_offline():
+    """In-mesh sharded re-anchor (one all_to_all voxel redistribution,
+    re_anchor_sharded_map) must equal the offline detour it replaces
+    (merge -> re_anchor_map on the single-device state -> distribute):
+    same voxel sets, same sums, to f32 tolerance."""
+    import numpy as np
+
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, re_anchor_map,
+    )
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import (
+        ShardedScanToMapOdometry, distribute_map, merge_sharded_map,
+        re_anchor_sharded_map,
+    )
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from tests.test_odometry import _trajectory_scans
+
+    scans, _ = _trajectory_scans(np.random.default_rng(13), n_frames=4)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    anchor = np.float64([2000.0, -1500.0, 30.0])
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, 3] = anchor
+    mesh = make_mesh(8)
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+    odo = ShardedScanToMapOdometry(cfg, mesh=mesh, covariance="knn",
+                                   initial_pose=T0)
+    for s in scans:
+        odo.process(s)
+
+    k = np.int32([2000, -1500, 30])
+    cap_local = odo.state.sums.shape[0] // 8
+
+    # offline detour (round-4 documented workaround)
+    merged = merge_sharded_map(odo.state)
+    offline = distribute_map(
+        mesh, re_anchor_map(merged, jnp.asarray(k)),
+        capacity_per_device=cap_local,
+    )
+    # in-mesh
+    inmesh = re_anchor_sharded_map(mesh, odo.state, jnp.asarray(k))
+
+    nv_off = np.asarray(offline.num_voxels)
+    nv_in = np.asarray(inmesh.num_voxels)
+    np.testing.assert_array_equal(nv_in, nv_off)  # same ownership split
+
+    def shard_rows(st, s, nv):
+        lo = s * cap_local
+        sums = np.asarray(st.sums)[lo:lo + nv[s]]
+        coords = np.asarray(st.coords)[lo:lo + nv[s]]
+        order = np.lexsort(coords.T)
+        return sums[order], coords[order]
+
+    for s in range(8):
+        sums_o, coords_o = shard_rows(offline, s, nv_off)
+        sums_i, coords_i = shard_rows(inmesh, s, nv_in)
+        np.testing.assert_array_equal(coords_i, coords_o)
+        np.testing.assert_allclose(sums_i, sums_o, rtol=1e-5, atol=2e-3)
+
+
+def test_sharded_re_anchor_long_drive():
+    """Sharded long drive crossing a re_anchor() boundary: the in-mesh
+    redistribution must leave the trajectory continuous (matches the
+    single-device re-anchored run) and subsequent aligns consistent."""
+    import numpy as np
+
+    from fast_gicp_tpu.models.scan_to_map import (
+        ScanToMapConfig, ScanToMapOdometry,
+    )
+    from fast_gicp_tpu.parallel.sharded import make_mesh
+    from fast_gicp_tpu.parallel.sharded_map import ShardedScanToMapOdometry
+    from fast_gicp_tpu.utils.downsample import voxel_downsample
+    from fast_gicp_tpu.utils.kitti import ate_rmse
+    from tests.test_odometry import _trajectory_scans
+
+    scans, gt = _trajectory_scans(np.random.default_rng(17), n_frames=8)
+    scans = [voxel_downsample(s, 0.2) for s in scans]
+    anchor = np.float64([3000.0, -2000.0, 50.0])
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, 3] = anchor
+    cfg = ScanToMapConfig(resolution=1.0, capacity=1 << 13)
+
+    single = ScanToMapOdometry(cfg, covariance="knn", initial_pose=T0)
+    sharded = ShardedScanToMapOdometry(cfg, mesh=make_mesh(8),
+                                       covariance="knn", initial_pose=T0)
+    shift_s = shift_sh = None
+    for i, s in enumerate(scans):
+        p1 = single.process(s)
+        p8 = sharded.process(s)
+        np.testing.assert_allclose(p8, p1, atol=5e-3)
+        if i == 3:
+            shift_s = single.re_anchor()
+            shift_sh = sharded.re_anchor()
+            np.testing.assert_allclose(shift_sh, shift_s)
+            assert np.linalg.norm(shift_sh - anchor) < 2.0
+    poses = [p.copy() for p in sharded.poses]
+    for p in poses:
+        p[:3, 3] += shift_sh - anchor
+    assert ate_rmse(gt, poses) < 0.05

@@ -87,12 +87,18 @@ def test_hessian_is_spd_at_optimum(rng):
     assert np.all(np.linalg.eigvalsh(H) > 0)
 
 
-def test_lm_trial_pallas_matches_xla(rng):
+def test_lm_trial_pallas_matches_xla():
     """The fused trial-step kernel (interpret mode on CPU) against the
     solver's XLA math: refined Cholesky solve, se3_exp (incl. the Taylor
-    small-angle branch), compose, and the rho denominator."""
+    small-angle branch), compose, and the rho denominator.
+
+    Local fixed rng (NOT the session fixture): the 1e-5 pose tolerance
+    sits close to f32 noise, and the shared sequential stream made the
+    draw depend on which other tests ran first."""
     import jax.numpy as jnp
     import numpy as np
+
+    rng = np.random.default_rng(1234)
 
     from fast_gicp_tpu import se3
     from fast_gicp_tpu.ops import pallas_solver

@@ -250,3 +250,54 @@ def test_device_downsample_matches_reference(rng):
     centroids = np.stack([pts[m].mean(0) for m in ref.values()])
     key = lambda a: a[np.lexsort(np.round(a.T, 4))]
     np.testing.assert_allclose(key(got), key(centroids), atol=1e-4)
+
+
+def test_ndt_grid_compact_matches_full_finalize(rng):
+    """build_ndt_grid_compact (round-5 fast NDT build: compact occupied
+    rows first, finalize + MIN_EIG clamp + pack only those, moments about
+    per-voxel corners) must reproduce the original full-table
+    _ndt_voxelmap statistics: same occupied voxels, same packed rows for
+    every voxel id a lookup can return."""
+    import jax
+
+    from fast_gicp_tpu.models.ndt import _ndt_voxelmap
+    from fast_gicp_tpu.ops.voxelmap import (
+        build_ndt_grid_compact, lookup_ndt_cols, lookup_voxels_cols,
+    )
+
+    res = 0.8
+    dims = (32, 32, 32)
+    pts, padded, mask = _cloud(rng)
+    ref_vm = _ndt_voxelmap(padded, mask, res, grid_dims=dims)
+    nmap, stats = build_ndt_grid_compact(
+        padded, mask, res, dims, budget=1024, with_stats=True
+    )
+    n = padded.shape[0]
+
+    # probe every reference-occupied voxel coordinate
+    coords = np.floor(pts / res - 0.5).astype(np.int32)
+    uniq = np.unique(coords, axis=0)
+    cx, cy, cz = (jnp.asarray(uniq[:, i]) for i in range(3))
+    vid_ref = np.asarray(lookup_voxels_cols(ref_vm, cx, cy, cz))
+    vid_new = np.asarray(lookup_ndt_cols(nmap, cx, cy, cz))
+    assert (vid_ref >= 0).all() and (vid_new < n).all()
+    rows_ref = np.asarray(ref_vm.packed)[vid_ref]
+    rows_new = np.asarray(nmap.packed)[vid_new]
+    # means exact-ish; covs through the different moment origin + clamp
+    np.testing.assert_allclose(rows_new[:, :3], rows_ref[:, :3], atol=1e-5)
+    np.testing.assert_allclose(rows_new[:, 3:12], rows_ref[:, 3:12],
+                               atol=1e-4)
+    np.testing.assert_array_equal(rows_new[:, 12], rows_ref[:, 12])
+
+    # a miss coordinate resolves to the zero sentinel row
+    miss = np.asarray(lookup_ndt_cols(
+        nmap, jnp.asarray([999]), jnp.asarray([999]), jnp.asarray([999])
+    ))
+    assert (np.asarray(nmap.packed)[miss] == 0).all()
+
+    # compact stats cover exactly the occupied voxels
+    means, valid, cov6 = stats
+    assert int(np.asarray(valid).sum()) == len(uniq)
+    got = np.sort(np.asarray(means)[np.asarray(valid)], axis=0)
+    want = np.sort(rows_ref[:, :3], axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-5)
