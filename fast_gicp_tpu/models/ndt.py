@@ -534,7 +534,18 @@ def ndt_prepare_cloud(points, mask, config: NDTConfig):
     centroid frame (survey-frame robustness, see
     base.centered_frame_align); `ndt_align_prebuilt` shifts frames at
     align time.  The compact stats exist only for D2D (P2D never
-    consumes them; config is static, so the compaction traces away)."""
+    consumes them; config is static, so the compaction traces away).
+
+    Known quantization-level divergence from the functional `ndt_align`
+    (advisor round-4): `ndt_align` voxelizes the source in the TARGET-
+    centroid frame while this prepares each cloud in its OWN centroid
+    frame, and floor(x/res - 0.5) binning is shift-dependent — so the
+    class API and `ndt_align` can produce slightly different D2D source
+    voxel SETS and thus slightly different (both valid) poses for the
+    same inputs.  This mirrors the reference's own behavior (its voxel
+    sets depend on the world frame the clouds arrive in); the divergence
+    is pinned by tests/test_registration.py::
+    test_ndt_class_api_matches_functional_within_quantization."""
     valid = mask.astype(points.dtype)
     c = jnp.sum(points * valid[:, None], axis=0) / jnp.maximum(
         jnp.sum(valid), 1.0

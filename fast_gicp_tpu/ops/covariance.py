@@ -154,7 +154,22 @@ def knn_covariance_cols(
         and not os.environ.get("FAST_GICP_TPU_NO_FUSED")  # kernel kill switch
         and method in ("plane", "none")
     ):
-        mom, _kth, _excl = _knn_moment_cols_fused(points, mask, k)
+        mom, kth, excl = _knn_moment_cols_fused(points, mask, k)
+        if os.environ.get("FAST_GICP_TPU_KNN_CERT"):
+            # Advisor round-4: the fused path has no per-point exactness
+            # certificate surfaced by default — opt-in observability so
+            # recall regressions on unusual clouds are visible.  A point
+            # is CERTIFIED exact when its k-th kept distance is <= the
+            # nearest excluded candidate tile's bound.
+            tile = kth.shape[0] // excl.shape[0]
+            cert = kth.reshape(excl.shape[0], tile) <= excl[:, None]
+            frac = jnp.sum(
+                (cert.reshape(-1) & mask).astype(jnp.float32)
+            ) / jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+            jax.debug.print(
+                "knn_covariance_cols certificate fraction: {f:.4f} "
+                "(n={n}, k={k})", f=frac, n=points.shape[0], k=k,
+            )
         cov6 = _finalize_mom_cols(mom)
         if method == "plane":
             return soa.plane_covs_cols(cov6)

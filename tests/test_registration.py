@@ -573,3 +573,42 @@ def test_clear_covariances_reestimates(bundled_pair):
     assert reg._source.covs is None and reg._target.covs is None
     T2 = reg.align()  # re-estimates and converges to the same pose
     np.testing.assert_allclose(T1, T2, atol=1e-5)
+
+
+def test_ndt_class_api_matches_functional_within_quantization(pair_coarse):
+    """Class-API NDT (per-cloud centroid-frame prebuilt maps) vs the
+    functional ndt_align (target-centroid-frame in-graph build): the
+    voxel binning floor(x/res - 0.5) is shift-dependent, so the two can
+    use slightly different source voxel sets — poses must still agree to
+    a fraction of the voxel size (advisor round-4 low finding, pinned
+    here).  Reference analogue: NDTCuda's voxel sets equally depend on
+    the incoming world frame (ndt_cuda.cu:70-93)."""
+    import jax.numpy as jnp
+
+    from fast_gicp_tpu.models.ndt import NDTCuda, NDTConfig, ndt_align
+    from fast_gicp_tpu.utils.padding import pad_points
+
+    source, target, gt = pair_coarse
+    for mode in ("d2d", "p2d"):
+        reg = NDTCuda()
+        reg.set_distance_mode(mode)
+        reg.set_resolution(1.0)
+        reg.set_input_target(target)
+        reg.set_input_source(source)
+        T_class = np.asarray(reg.align())
+
+        sp, sm = map(jnp.asarray, pad_points(source))
+        tp, tm = map(jnp.asarray, pad_points(target))
+        dims = reg._grid_dims(reg._source, reg._target)
+        T_fn = np.asarray(ndt_align(
+            sp, sm, tp, tm, jnp.eye(4, dtype=jnp.float32),
+            NDTConfig(resolution=1.0, distance_mode=mode, grid_dims=dims),
+        ).transformation)
+
+        delta = np.linalg.inv(T_fn) @ T_class
+        assert np.linalg.norm(delta[:3, 3]) < 0.15, (mode, delta)
+        assert np.abs(delta[:3, :3] - np.eye(3)).max() < 5e-3, mode
+        # and both within the reference tolerance of ground truth
+        for T in (T_class, T_fn):
+            err = np.linalg.norm((np.linalg.inv(gt) @ T)[:3, 3])
+            assert err < 0.2, (mode, err)
