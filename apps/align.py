@@ -326,7 +326,13 @@ def main(argv=None):
         warm.set_input_source(source)
         warm.align()
         # also compile the swapped direction (used by the reuse protocol —
-        # auto grid dims differ per target cloud)
+        # auto grid dims differ per target cloud), AND the forward
+        # direction with CACHED covariances: the first align populated the
+        # cache via the one-dispatch fused path, so the forward
+        # cached-covariance executable (what the reuse loop's odd
+        # iterations run) is a distinct compile
+        warm.swap_source_and_target()
+        warm.align()
         warm.swap_source_and_target()
         warm.align()
 

@@ -103,6 +103,30 @@ class Cloud:
     # them with the clouds (ndt_cuda.cu:70-93); swapping Cloud objects
     # carries this cache exactly like the covariance cache.
     ndt_cache: Optional[tuple] = None
+    # cached host-side extent (lo, hi) of the real points — auto grid
+    # sizing reads it instead of re-reducing 17k x 3 host floats per
+    # align (~1.3 ms/align of the pipelined class-API loop)
+    _extent: Optional[tuple] = None
+
+    def extent(self):
+        """Cached (lo, hi) numpy extent over the real (unpadded) points."""
+        if self._extent is None:
+            pts = self.host_points[: self.size]
+            self._extent = (pts.min(axis=0), pts.max(axis=0))
+        return self._extent
+
+
+_EYE4 = None
+
+
+def _identity_guess():
+    """Cached identity-guess device array: creating `jnp.eye(4)` anew per
+    align costs a ~2 ms device round trip on the remote-TPU tunnel
+    (measured) — a pure per-align tax in pipelined loops."""
+    global _EYE4
+    if _EYE4 is None:
+        _EYE4 = jnp.eye(4, dtype=jnp.float32)
+    return _EYE4
 
 
 def estimate_covariances(
@@ -308,7 +332,7 @@ class Registration:
         """
         src, tgt = self._require_source(), self._require_target()
         guess = (
-            jnp.eye(4, dtype=jnp.float32)
+            _identity_guess()
             if initial_guess is None
             else jnp.asarray(initial_guess, dtype=jnp.float32)
         )

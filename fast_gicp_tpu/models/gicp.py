@@ -272,6 +272,45 @@ def gicp_evaluate(
     return centered_frame_evaluate(run, source, target, target_mask, pose)
 
 
+@partial(jax.jit, static_argnames=(
+    "config", "method", "k", "regularization", "kernel_width",
+    "kernel_max_dist",
+))
+@f32_matmuls
+def gicp_register_fresh(
+    source,
+    source_mask,
+    target,
+    target_mask,
+    guess,
+    config: GICPConfig = GICPConfig(),
+    method: str = "knn",
+    k: int = 20,
+    regularization: str = "plane",
+    kernel_width: float = 0.5,
+    kernel_max_dist: float = 3.0,
+):
+    """ONE-dispatch fresh class-API registration (see
+    vgicp.vgicp_register_fresh): in-graph covariance estimation for both
+    clouds + the GICP align; returns (LsqResult, source_cov6,
+    target_cov6) so the class caches the device-side covariances."""
+    from ..ops.covariance import estimate_covariance_cols
+
+    scovs = estimate_covariance_cols(
+        source, source_mask, method, k=k, regularization=regularization,
+        kernel_width=kernel_width, kernel_max_dist=kernel_max_dist,
+    )
+    tcovs = estimate_covariance_cols(
+        target, target_mask, method, k=k, regularization=regularization,
+        kernel_width=kernel_width, kernel_max_dist=kernel_max_dist,
+    )
+    res = gicp_align(
+        source, source_mask, scovs, target, target_mask, tcovs, guess,
+        config,
+    )
+    return res, scovs, tcovs
+
+
 @dataclass
 class FastGICP(Registration):
     """Class-API GICP, the equivalent of both `FastGICP` (multi-threaded)
@@ -333,6 +372,24 @@ class FastGICP(Registration):
         )
 
     def _compute(self, source: Cloud, target: Cloud, guess):
+        if (
+            source.covs is None
+            and target.covs is None
+            and self.covariance_estimation in ("knn", "rbf", "adaptive")
+        ):
+            # fresh align = ONE dispatch (see gicp_register_fresh); the
+            # returned covariances populate the cache for swap/reuse
+            res, scovs, tcovs = gicp_register_fresh(
+                source.points, source.mask, target.points, target.mask,
+                guess, self._config(),
+                method=self.covariance_estimation,
+                k=self.k_correspondences,
+                regularization=self.regularization,
+                kernel_width=self.kernel_width,
+                kernel_max_dist=self.kernel_max_dist,
+            )
+            source.covs, target.covs = scovs, tcovs
+            return res
         self._ensure_covariances(source)
         self._ensure_covariances(target)
         return gicp_align(

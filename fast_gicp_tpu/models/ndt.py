@@ -686,14 +686,17 @@ class NDTCuda(Registration):
             return self.grid_dims
         import numpy as np
 
-        from ..ops.voxelmap import auto_grid_dims
+        from ..ops.voxelmap import auto_grid_dims_from_extent
 
         # Cover BOTH clouds (D2D builds a source voxel map too; grid-build
         # drops out-of-range voxels, so size for the union of extents).
-        pts = np.concatenate(
-            [source.host_points[: source.size], target.host_points[: target.size]]
+        # Per-cloud extents are cached (Cloud.extent) — the union is pure
+        # scalar arithmetic per align.
+        slo, shi = source.extent()
+        tlo, thi = target.extent()
+        return auto_grid_dims_from_extent(
+            np.minimum(slo, tlo), np.maximum(shi, thi), self.resolution
         )
-        return auto_grid_dims(pts, self.resolution)
 
     def _ensure_prepared(self, cloud: Cloud, config: NDTConfig):
         """Per-cloud voxel map + compact stats, cached on the Cloud (the

@@ -475,6 +475,50 @@ def vgicp_register(
     )
 
 
+@partial(jax.jit, static_argnames=(
+    "config", "method", "k", "regularization", "kernel_width",
+    "kernel_max_dist",
+))
+@f32_matmuls
+def vgicp_register_fresh(
+    source,
+    source_mask,
+    target,
+    target_mask,
+    guess,
+    config: VGICPConfig = VGICPConfig(),
+    method: str = "knn",
+    k: int = 20,
+    regularization: str = "plane",
+    kernel_width: float = 0.5,
+    kernel_max_dist: float = 3.0,
+):
+    """ONE-dispatch fresh class-API registration: covariance estimation
+    for BOTH clouds (selected estimator, in-graph) + the full align.
+
+    Returns (LsqResult, source_cov6, target_cov6) — the covariances come
+    back as device-side sym-6 columns so the class API can cache them for
+    the swap/reuse protocol with zero extra transfers.  Motivation: each
+    separate jit call costs ~1.5 ms of dispatch on the remote-TPU tunnel,
+    so the 3-call fresh path (2 estimations + align) paid ~4.5 ms/align
+    before any device work (apps/align.py pipelined rows)."""
+    from ..ops.covariance import estimate_covariance_cols
+
+    scovs = estimate_covariance_cols(
+        source, source_mask, method, k=k, regularization=regularization,
+        kernel_width=kernel_width, kernel_max_dist=kernel_max_dist,
+    )
+    tcovs = estimate_covariance_cols(
+        target, target_mask, method, k=k, regularization=regularization,
+        kernel_width=kernel_width, kernel_max_dist=kernel_max_dist,
+    )
+    res = vgicp_align(
+        source, source_mask, scovs, target, target_mask, tcovs, guess,
+        config,
+    )
+    return res, scovs, tcovs
+
+
 def vgicp_align_multires(
     source,
     source_mask,
@@ -580,9 +624,10 @@ class FastVGICP(Registration):
 
     def _grid_dims(self, target: Cloud):
         if self.grid_dims == "auto":
-            return auto_grid_dims(
-                target.host_points[: target.size], self.resolution
-            )
+            from ..ops.voxelmap import auto_grid_dims_from_extent
+
+            lo, hi = target.extent()  # cached per cloud
+            return auto_grid_dims_from_extent(lo, hi, self.resolution)
         return self.grid_dims
 
     def _config(self, grid_dims=None) -> VGICPConfig:
@@ -598,6 +643,25 @@ class FastVGICP(Registration):
         )
 
     def _compute(self, source: Cloud, target: Cloud, guess):
+        if (
+            source.covs is None
+            and target.covs is None
+            and self.covariance_estimation in ("knn", "rbf", "adaptive")
+        ):
+            # fresh align = ONE dispatch (see vgicp_register_fresh); the
+            # returned device-side covariances populate the cache so the
+            # swap/reuse protocol behaves exactly as before
+            res, scovs, tcovs = vgicp_register_fresh(
+                source.points, source.mask, target.points, target.mask,
+                guess, self._config(grid_dims=self._grid_dims(target)),
+                method=self.covariance_estimation,
+                k=self.k_correspondences,
+                regularization=self.regularization,
+                kernel_width=self.kernel_width,
+                kernel_max_dist=self.kernel_max_dist,
+            )
+            source.covs, target.covs = scovs, tcovs
+            return res
         self._ensure_covariances(source)
         self._ensure_covariances(target)
         return vgicp_align(

@@ -75,6 +75,36 @@ def regularize_covariances(covs, method: str):
     raise ValueError(f"unknown regularization method: {method}")
 
 
+def estimate_covariance_cols(
+    points,
+    mask,
+    method: str,
+    k: int = 20,
+    regularization: str = "plane",
+    kernel_width: float = 0.5,
+    kernel_max_dist: float = 3.0,
+):
+    """In-graph covariance estimation selector, sym-6 columns (6, N).
+
+    The traceable twin of `models.base.estimate_covariances` for the
+    one-dispatch fresh-registration paths ("kdtree" needs the host and is
+    excluded): on the remote-TPU tunnel every separate jit call costs
+    ~1.5 ms of dispatch, so fresh class-API aligns fuse estimation + align
+    into ONE call (gicp_register_fresh / vgicp_register_fresh)."""
+    if method == "knn":
+        return knn_covariance_cols(points, mask, k=k, method=regularization)
+    if method == "rbf":
+        return rbf_covariance_cols(
+            points, mask, kernel_width=kernel_width,
+            max_dist=kernel_max_dist, method=regularization,
+        )
+    if method == "adaptive":
+        return adaptive_radius_covariance_cols(
+            points, mask, k=k, method=regularization
+        )
+    raise ValueError(f"no in-graph estimator for method: {method}")
+
+
 def _knn_moment_cols_fused(points, mask, k, cand_tile=128, cand_tiles=16,
                            interpret=False):
     """Raw kNN moment rows (10, N) + k-th distances via the fused

@@ -927,8 +927,30 @@ def auto_grid_dims(
     pts = np.asarray(points)
     if pts.size == 0:
         return None
-    lo = np.floor(pts.min(axis=0) / resolution - 0.5)
-    hi = np.floor(pts.max(axis=0) / resolution - 0.5)
+    return auto_grid_dims_from_extent(
+        pts.min(axis=0), pts.max(axis=0), resolution,
+        margin=margin, bucket=bucket, max_cells=max_cells,
+    )
+
+
+def auto_grid_dims_from_extent(
+    lo_pt,
+    hi_pt,
+    resolution: float,
+    margin: int = 2,
+    bucket: int = 32,
+    max_cells: int = 64_000_000,
+):
+    """`auto_grid_dims` from a precomputed (lo, hi) point extent — the
+    class API caches each Cloud's extent (Cloud.extent()), making the
+    per-align grid sizing pure scalar arithmetic instead of a 17k x 3
+    host reduction."""
+    import numpy as np
+
+    if resolution is None or resolution <= 0:
+        return None
+    lo = np.floor(np.asarray(lo_pt) / resolution - 0.5)
+    hi = np.floor(np.asarray(hi_pt) / resolution - 0.5)
     span = (hi - lo + 1 + 2 * margin).astype(np.int64)
     dims = (np.ceil(span / bucket) * bucket).astype(np.int64)
     if int(dims.prod()) > max_cells:
