@@ -612,3 +612,39 @@ def test_ndt_class_api_matches_functional_within_quantization(pair_coarse):
         for T in (T_class, T_fn):
             err = np.linalg.norm((np.linalg.inv(gt) @ T)[:3, 3])
             assert err < 0.2, (mode, err)
+
+
+def test_fused_fresh_class_path_matches_stepwise(pair_coarse):
+    """The one-dispatch fresh class paths (gicp/vgicp_register_fresh,
+    round 5) must reproduce the stepwise estimate-then-align results and
+    leave the covariance cache populated for the swap protocol."""
+    from fast_gicp_tpu import FastGICP, FastVGICP
+
+    source, target, gt = pair_coarse
+    for cls in (FastGICP, FastVGICP):
+        fused = cls()
+        fused.set_input_target(target)
+        fused.set_input_source(source)
+        T_fused = np.asarray(fused.align())
+        assert fused._source.covs is not None  # cache populated
+        assert fused._target.covs is not None
+
+        step = cls()
+        step.set_input_target(target)
+        step.set_input_source(source)
+        # pre-populating covariances forces the stepwise branch
+        from fast_gicp_tpu.models.base import estimate_covariances
+
+        estimate_covariances(step._source, "knn", 20, "plane")
+        estimate_covariances(step._target, "knn", 20, "plane")
+        T_step = np.asarray(step.align())
+
+        np.testing.assert_allclose(T_fused, T_step, atol=1e-4)
+        err = np.linalg.norm((np.linalg.inv(gt) @ T_fused)[:3, 3])
+        assert err < 0.05, (cls.__name__, err)
+
+        # swap/reuse off the fused-populated cache still registers
+        fused.swap_source_and_target()
+        T_back = np.asarray(fused.align())
+        err_back = np.linalg.norm((gt @ T_back)[:3, 3])
+        assert err_back < 0.05, (cls.__name__, err_back)
